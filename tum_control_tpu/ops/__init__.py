@@ -1,0 +1,2 @@
+from tum_control_tpu.ops.soft_qp import solve_soft_qp, CondensedQP
+from tum_control_tpu.ops.rti import RTIEngine, RTIState, OCPFunctions, SolverStats

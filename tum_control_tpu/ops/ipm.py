@@ -1,0 +1,177 @@
+"""Primal-dual interior-point method for soft-constrained condensed QPs.
+
+The robust work-horse behind `RTIEngine` — the role HPIPM plays for acados
+(NMPC_STM_acados_settings.py:231: FULL_CONDENSING_HPIPM). Handles the
+reference's L1+L2-softened two-sided constraints *and* hard rows in one
+uniform infeasible-start formulation. Per constraint row i, with
+v = G_i w + c0_i, the (upper-side) conditions are
+
+    stationarity      z1 + z2 su - lam - mu = 0        (soft rows only)
+    primal linkage    v + p - su - ub = 0,   p > 0
+    complementarity   lam p = tau,  mu su = tau        (su, mu soft only)
+
+Both slack-side variables (su, mu) and the side distance p are eliminated
+analytically inside each Newton step — the standard HPIPM soft-constraint
+condensation — so each IPM iteration reduces to one dense (nz x nz)
+normal-equations solve:
+
+    [H0 + G' diag(sig_u + sig_l) G] dw = -r_w - G'(chat_u - chat_l)
+
+Hard rows are the z2 -> inf limit (no slack, lam p = tau only). A fixed
+iteration count with fraction-to-boundary steps, then a short semismooth
+Newton polish (`soft_qp.newton_polish`) lands on the exact minimizer.
+Static shapes throughout — vmappable to thousands of QPs per TPU program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tum_control_tpu.ops.soft_qp import CondensedQP, newton_polish
+
+BIG_THRESH = 1e10  # row sides with |bound| above this are treated as absent
+HARD_THRESH = 1e6  # z2 at or above this marks a hard row
+
+
+def solve_soft_qp_ipm(
+    qp: CondensedQP,
+    n_iters: int = 30,
+    n_polish: int = 2,
+    gamma_ftb: float = 0.99,
+    sigma: float = 0.2,
+):
+    """Solve the soft QP. Returns (w, kkt_res)."""
+    H0, g0, G, c0, lb, ub, z1, z2 = qp
+    nz = H0.shape[0]
+    nc = c0.shape[0]
+    dtype = H0.dtype
+    eye = jnp.eye(nz, dtype=dtype)
+
+    act_u = ub < BIG_THRESH
+    act_l = lb > -BIG_THRESH
+    soft = z2 < HARD_THRESH
+    s_u = act_u & soft  # upper side has slack variables
+    s_l = act_l & soft
+    ones = jnp.ones(nc, dtype=dtype)
+
+    v0 = c0  # at w = 0
+    su = jnp.where(s_u, ones, 0.0)
+    sl = jnp.where(s_l, ones, 0.0)
+    pu = jnp.where(act_u, jnp.maximum(ub + su - v0, 1.0), 1.0)
+    pl = jnp.where(act_l, jnp.maximum(v0 + sl - lb, 1.0), 1.0)
+    lam_u = jnp.where(act_u, ones, 0.0)
+    lam_l = jnp.where(act_l, ones, 0.0)
+    mu_u = jnp.where(s_u, ones, 0.0)
+    mu_l = jnp.where(s_l, ones, 0.0)
+    w = jnp.zeros(nz, dtype=dtype)
+
+    nt = jnp.maximum(
+        (jnp.sum(act_u) + jnp.sum(act_l) + jnp.sum(s_u) + jnp.sum(s_l)).astype(dtype), 1.0
+    )
+
+    def body(carry, _):
+        w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l = carry
+        v = G @ w + c0
+        # primal linkage residuals (zero once iterates become feasible)
+        r_pu = jnp.where(act_u, v + pu - su - ub, 0.0)
+        r_pl = jnp.where(act_l, pl - v - sl + lb, 0.0)
+
+        gap = (
+            jnp.sum(jnp.where(act_u, lam_u * pu, 0.0))
+            + jnp.sum(jnp.where(act_l, lam_l * pl, 0.0))
+            + jnp.sum(jnp.where(s_u, mu_u * su, 0.0))
+            + jnp.sum(jnp.where(s_l, mu_l * sl, 0.0))
+        )
+
+        su_s = jnp.where(s_u, su, 1.0)
+        sl_s = jnp.where(s_l, sl, 1.0)
+        rs_u = z1 + z2 * su - lam_u - mu_u
+        rs_l = z1 + z2 * sl - lam_l - mu_l
+        b_u = z2 + mu_u / su_s
+        b_l = z2 + mu_l / sl_s
+        ipb_u = jnp.where(s_u, lam_u / (pu * b_u), 0.0)
+        ipb_l = jnp.where(s_l, lam_l / (pl * b_l), 0.0)
+        D_u = 1.0 + ipb_u
+        D_l = 1.0 + ipb_l
+        sig_u = jnp.where(act_u, lam_u / (pu * D_u), 0.0)
+        sig_l = jnp.where(act_l, lam_l / (pl * D_l), 0.0)
+
+        r_w = H0 @ w + g0 + G.T @ (lam_u - lam_l)
+        H = H0 + (G * (sig_u + sig_l)[:, None]).T @ G + 1e-11 * eye
+        L = jnp.linalg.cholesky(H)
+
+        def max_step(x, dx, mask):
+            ratio = jnp.where(mask & (dx < 0), -x / jnp.where(dx < 0, dx, -1.0), jnp.inf)
+            return jnp.min(ratio)
+
+        def directions(tau):
+            """Newton directions for barrier target tau (same factorization)."""
+            a_u = jnp.where(s_u, -rs_u + tau / su_s - mu_u, 0.0)
+            a_l = jnp.where(s_l, -rs_l + tau / sl_s - mu_l, 0.0)
+            chat_u = jnp.where(
+                act_u, (tau / pu - lam_u + lam_u * r_pu / pu - ipb_u * a_u) / D_u, 0.0
+            )
+            chat_l = jnp.where(
+                act_l, (tau / pl - lam_l + lam_l * r_pl / pl - ipb_l * a_l) / D_l, 0.0
+            )
+            dw = -jax.scipy.linalg.cho_solve((L, True), r_w + G.T @ (chat_u - chat_l))
+            Gdw = G @ dw
+            dlam_u = jnp.where(act_u, chat_u + sig_u * Gdw, 0.0)
+            dlam_l = jnp.where(act_l, chat_l - sig_l * Gdw, 0.0)
+            dsu = jnp.where(s_u, (dlam_u + a_u) / b_u, 0.0)
+            dsl = jnp.where(s_l, (dlam_l + a_l) / b_l, 0.0)
+            dmu_u = jnp.where(s_u, (tau - mu_u * su - mu_u * dsu) / su_s, 0.0)
+            dmu_l = jnp.where(s_l, (tau - mu_l * sl - mu_l * dsl) / sl_s, 0.0)
+            dpu = jnp.where(act_u, dsu - Gdw - r_pu, 0.0)
+            dpl = jnp.where(act_l, dsl + Gdw - r_pl, 0.0)
+            steps = jnp.stack(
+                [
+                    max_step(lam_u, dlam_u, act_u),
+                    max_step(lam_l, dlam_l, act_l),
+                    max_step(pu, dpu, act_u),
+                    max_step(pl, dpl, act_l),
+                    max_step(mu_u, dmu_u, s_u),
+                    max_step(mu_l, dmu_l, s_l),
+                    max_step(su, dsu, s_u),
+                    max_step(sl, dsl, s_l),
+                ]
+            )
+            alpha = jnp.minimum(1.0, gamma_ftb * jnp.min(steps))
+            return (dw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha
+
+        # Mehrotra: affine predictor fixes the centering parameter
+        d_aff, alpha_aff = directions(jnp.zeros((), dtype=dtype))
+        _, dsu_a, dsl_a, dpu_a, dpl_a, dlu_a, dll_a, dmu_a, dml_a = d_aff
+        gap_aff = (
+            jnp.sum(jnp.where(act_u, (lam_u + alpha_aff * dlu_a) * (pu + alpha_aff * dpu_a), 0.0))
+            + jnp.sum(jnp.where(act_l, (lam_l + alpha_aff * dll_a) * (pl + alpha_aff * dpl_a), 0.0))
+            + jnp.sum(jnp.where(s_u, (mu_u + alpha_aff * dmu_a) * (su + alpha_aff * dsu_a), 0.0))
+            + jnp.sum(jnp.where(s_l, (mu_l + alpha_aff * dml_a) * (sl + alpha_aff * dsl_a), 0.0))
+        )
+        sig_c = jnp.clip((gap_aff / jnp.maximum(gap, 1e-30)) ** 3, 1e-4, 0.99)
+        tau = sig_c * gap / nt
+
+        (dw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha = directions(tau)
+
+        # freeze once converged (or if a step went non-finite) — keeps the
+        # fixed-iteration scan numerically safe after the gap collapses
+        ok = (gap > 1e-11 * nt) & jnp.all(jnp.isfinite(dw)) & jnp.isfinite(alpha)
+        upd = lambda x, dx, m: jnp.where(ok & m, x + alpha * dx, x)
+        w = jnp.where(ok, w + alpha * dw, w)
+        su = upd(su, dsu, s_u)
+        sl = upd(sl, dsl, s_l)
+        pu = upd(pu, dpu, act_u)
+        pl = upd(pl, dpl, act_l)
+        lam_u = upd(lam_u, dlam_u, act_u)
+        lam_l = upd(lam_l, dlam_l, act_l)
+        mu_u = upd(mu_u, dmu_u, s_u)
+        mu_l = upd(mu_l, dmu_l, s_l)
+        return (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), gap
+
+    carry = (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l)
+    carry, _ = jax.lax.scan(body, carry, None, length=n_iters)
+    w = carry[0]
+
+    # exact finish: a few semismooth-Newton steps from the IPM point
+    w, kkt = newton_polish(qp, w, n_iters=n_polish)
+    return w, kkt

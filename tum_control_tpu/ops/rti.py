@@ -1,0 +1,291 @@
+"""SQP-RTI engine: one real-time iteration = linearize -> condense -> soft-QP.
+
+This is the TPU-native replacement for the acados SQP_RTI + full-condensing
+HPIPM pipeline (NMPC_STM_acados_settings.py:229-243). One `solve()` performs
+exactly one real-time iteration, like `AcadosOcpSolver.solve()` under
+`nlp_solver_type="SQP_RTI"`:
+
+  1. linearize the discrete dynamics, the nonlinear-LS cost and the
+     nonlinear constraints at the currently stored iterate (X, U)
+     (Gauss-Newton, exact ERK sensitivities via `jax.jacfwd` of the
+     integrator — matching acados' ERK forward sensitivities),
+  2. condense all state deviations onto the control deviations
+     (w = vec(dU), Dx_k = e_k + Gamma_k w) — the analog of acados'
+     FULL_CONDENSING, realized as a `lax.scan` building Gamma,
+  3. solve the resulting soft-constrained QP exactly with the
+     semismooth-Newton solver in `ops/soft_qp.py`,
+  4. update the iterate with the *linear* QP step (no re-rollout), exactly
+     like acados RTI, and keep it as the warm start for the next call.
+
+The engine is controller-agnostic: Nominal NMPC, SNMPC (stacked PCE state)
+and R2NMPC all provide their own `OCPFunctions`. Everything is jit-safe and
+batches over scenarios with `vmap`.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tum_control_tpu.ops.ipm import solve_soft_qp_ipm
+from tum_control_tpu.ops.soft_qp import CondensedQP
+
+BIG = 1e12  # stands in for +/- inf bounds (inf would produce inf*0 NaNs)
+
+
+class OCPFunctions(NamedTuple):
+    """Controller-supplied problem functions (node index k is static-shaped).
+
+    dyn_step : (k, x, u) -> x_next        discrete shooting dynamics
+    y_stage  : (k, x, u) -> (ny,)         nonlinear-LS stage output
+    y_term   : (x) -> (ny_e,)             nonlinear-LS terminal output
+    con_stage: (k, x) -> (nc,)            state-only nonlinear constraints
+    """
+
+    dyn_step: Callable
+    y_stage: Callable
+    y_term: Callable
+    con_stage: Callable
+
+
+class RTIState(NamedTuple):
+    """Warm-start memory carried between RTI calls (acados solver memory)."""
+
+    X: jnp.ndarray  # (N+1, nx) primal state trajectory
+    U: jnp.ndarray  # (N, nu) primal control trajectory
+
+
+class QPMods(NamedTuple):
+    """Optional per-solve overrides of the engine's static QP data.
+
+    Used by Weights-varying MPC (cost weights + slack penalties updated at
+    runtime, NMPC_class.py:269-317) and by R2NMPC (per-stage constraint-bound
+    tightening, Reduced_Robustified_NMPC_class.py:335-365). `None` fields fall
+    back to the static values.
+    """
+
+    W: jnp.ndarray = None
+    We: jnp.ndarray = None
+    con_lb: jnp.ndarray = None
+    con_ub: jnp.ndarray = None
+    con_z1: jnp.ndarray = None
+    con_z2: jnp.ndarray = None
+    u_lb: jnp.ndarray = None
+    u_ub: jnp.ndarray = None
+    u_z1: jnp.ndarray = None
+    u_z2: jnp.ndarray = None
+
+
+class SolverStats(NamedTuple):
+    cost: jnp.ndarray      # nonlinear cost incl. slack penalties (get_cost analog)
+    kkt_res: jnp.ndarray   # inf-norm KKT residual of the QP solve
+    sqp_iter: jnp.ndarray  # always 1 (RTI)
+    qp_iter: jnp.ndarray   # Newton iterations used
+    status: jnp.ndarray    # 0 ok | 3 NaN detected (acados NAN_SOL analog)
+
+
+class RTIEngine:
+    """Static problem description + jit-safe solve().
+
+    Bounds / penalty layout mirrors the reference OCPs: per-node constraint
+    bounds (N+1, nc) for the state-only rows and (N, nu) for input rows, with
+    per-row L1/L2 penalties. Hard rows get z1 = 0, z2 = `hard_penalty`.
+    """
+
+    def __init__(
+        self,
+        funcs: OCPFunctions,
+        N: int,
+        nx: int,
+        nu: int,
+        W: jnp.ndarray,       # (ny,) diagonal stage weight
+        We: jnp.ndarray,      # (ny_e,) diagonal terminal weight
+        con_lb: jnp.ndarray,  # (N+1, nc)
+        con_ub: jnp.ndarray,  # (N+1, nc)
+        con_z1: jnp.ndarray,  # (N+1, nc)
+        con_z2: jnp.ndarray,  # (N+1, nc)
+        u_lb: jnp.ndarray,    # (N, nu)
+        u_ub: jnp.ndarray,    # (N, nu)
+        u_z1: jnp.ndarray,    # (N, nu)
+        u_z2: jnp.ndarray,    # (N, nu)
+        newton_iters: int = 15,
+    ):
+        self.funcs = funcs
+        self.N, self.nx, self.nu = N, nx, nu
+        self.nz = N * nu
+        self.W, self.We = W, We
+        self.con_lb, self.con_ub = con_lb, con_ub
+        self.con_z1, self.con_z2 = con_z1, con_z2
+        self.u_lb, self.u_ub = u_lb, u_ub
+        self.u_z1, self.u_z2 = u_z1, u_z2
+        self.newton_iters = newton_iters
+        # E_k = d(vec dU)/d(du_k): (N, nu, nz) selector, built once
+        self.E = jnp.eye(self.nz).reshape(N, nu, self.nz)
+
+    # ------------------------------------------------------------------
+    def init_state(self, x0) -> RTIState:
+        """acados-style cold start: all states at x0, controls at zero."""
+        X = jnp.tile(x0[None, :], (self.N + 1, 1))
+        U = jnp.zeros((self.N, self.nu), dtype=x0.dtype)
+        return RTIState(X=X, U=U)
+
+    # ------------------------------------------------------------------
+    def _linearize(self, state: RTIState):
+        N, nx, nu = self.N, self.nx, self.nu
+        ks = jnp.arange(N)
+
+        def step_xu(k, xu):
+            return self.funcs.dyn_step(k, xu[:nx], xu[nx:])
+
+        XU = jnp.concatenate([state.X[:-1], state.U], axis=1)
+        F = jax.vmap(step_xu)(ks, XU)
+        J = jax.vmap(jax.jacfwd(step_xu, argnums=1))(ks, XU)  # (N, nx, nx+nu)
+        A, B = J[:, :, :nx], J[:, :, nx:]
+        xi = F - state.X[1:]
+        return A, B, xi
+
+    def _condense(self, A, B, xi, d0):
+        """e_k, Gamma_k such that Dx_k = e_k + Gamma_k w."""
+        nz = self.nz
+
+        def body(carry, inp):
+            e, Gam = carry
+            A_k, B_k, xi_k, E_k = inp
+            e_n = A_k @ e + xi_k
+            Gam_n = A_k @ Gam + B_k @ E_k
+            return (e_n, Gam_n), (e_n, Gam_n)
+
+        Gam0 = jnp.zeros((self.nx, nz), dtype=A.dtype)
+        (_, _), (e_tail, Gam_tail) = jax.lax.scan(body, (d0, Gam0), (A, B, xi, self.E))
+        e = jnp.concatenate([d0[None], e_tail], axis=0)
+        Gam = jnp.concatenate([Gam0[None], Gam_tail], axis=0)
+        return e, Gam
+
+    # ------------------------------------------------------------------
+    def _merged(self, mods: "QPMods | None"):
+        if mods is None:
+            mods = QPMods()
+        pick = lambda m, s: s if m is None else m
+        return (
+            pick(mods.W, self.W),
+            pick(mods.We, self.We),
+            pick(mods.con_lb, self.con_lb),
+            pick(mods.con_ub, self.con_ub),
+            pick(mods.con_z1, self.con_z1),
+            pick(mods.con_z2, self.con_z2),
+            pick(mods.u_lb, self.u_lb),
+            pick(mods.u_ub, self.u_ub),
+            pick(mods.u_z1, self.u_z1),
+            pick(mods.u_z2, self.u_z2),
+        )
+
+    # ------------------------------------------------------------------
+    def _build_qp(self, state: RTIState, x0, yref, yref_e, mods=None):
+        W, We, con_lb, con_ub, con_z1, con_z2, u_lb, u_ub, u_z1, u_z2 = self._merged(mods)
+        N, nx, nu, nz = self.N, self.nx, self.nu, self.nz
+        ks = jnp.arange(N)
+        A, B, xi = self._linearize(state)
+        d0 = x0 - state.X[0]
+        e, Gam = self._condense(A, B, xi, d0)
+
+        # --- Gauss-Newton cost ---
+        def y_xu(k, xu):
+            return self.funcs.y_stage(k, xu[:nx], xu[nx:])
+
+        XU = jnp.concatenate([state.X[:-1], state.U], axis=1)
+        Y = jax.vmap(y_xu)(ks, XU)                         # (N, ny)
+        Jy = jax.vmap(jax.jacfwd(y_xu, argnums=1))(ks, XU)  # (N, ny, nx+nu)
+        Jyx, Jyu = Jy[:, :, :nx], Jy[:, :, nx:]
+        r0 = Y - yref + jnp.einsum("kij,kj->ki", Jyx, e[:N])
+        M = jnp.einsum("kij,kjz->kiz", Jyx, Gam[:N]) + jnp.einsum(
+            "kij,kjz->kiz", Jyu, self.E
+        )                                                   # (N, ny, nz)
+
+        ye = self.funcs.y_term(state.X[N])
+        Jye = jax.jacfwd(self.funcs.y_term)(state.X[N])     # (ny_e, nx)
+        re0 = ye - yref_e + Jye @ e[N]
+        Me = Jye @ Gam[N]                                   # (ny_e, nz)
+
+        Mf = M.reshape(N * M.shape[1], nz)
+        rf = r0.reshape(-1)
+        wts = jnp.tile(W, N)
+        H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
+        g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+
+        # --- constraint rows ---
+        kall = jnp.arange(N + 1)
+        C = jax.vmap(self.funcs.con_stage)(kall, state.X)          # (N+1, nc)
+        Jc = jax.vmap(jax.jacfwd(self.funcs.con_stage, argnums=1))(kall, state.X)
+        c0_c = C + jnp.einsum("kij,kj->ki", Jc, e)
+        G_c = jnp.einsum("kij,kjz->kiz", Jc, Gam)                  # (N+1, nc, nz)
+
+        G = jnp.concatenate([G_c.reshape(-1, nz), self.E.reshape(-1, nz)], axis=0)
+        c0 = jnp.concatenate([c0_c.reshape(-1), state.U.reshape(-1)], axis=0)
+        lb = jnp.concatenate([con_lb.reshape(-1), u_lb.reshape(-1)])
+        ub = jnp.concatenate([con_ub.reshape(-1), u_ub.reshape(-1)])
+        z1 = jnp.concatenate([con_z1.reshape(-1), u_z1.reshape(-1)])
+        z2 = jnp.concatenate([con_z2.reshape(-1), u_z2.reshape(-1)])
+
+        qp = CondensedQP(H0=H0, g0=g0, G=G, c0=c0, lb=lb, ub=ub, z1=z1, z2=z2)
+        return qp, e, Gam
+
+    # ------------------------------------------------------------------
+    def nonlinear_cost(self, state: RTIState, yref, yref_e, mods=None):
+        W, We, con_lb, con_ub, con_z1, con_z2, u_lb, u_ub, u_z1, u_z2 = self._merged(mods)
+        """acados `get_cost()` analog: LS cost + slack penalties at the iterate."""
+        N, nx = self.N, self.nx
+        ks = jnp.arange(N)
+        Y = jax.vmap(self.funcs.y_stage)(ks, state.X[:-1], state.U)
+        r = Y - yref
+        cost = 0.5 * jnp.sum(r * r * W[None, :])
+        re = self.funcs.y_term(state.X[N]) - yref_e
+        cost += 0.5 * jnp.sum(re * re * We)
+
+        C = jax.vmap(self.funcs.con_stage)(jnp.arange(N + 1), state.X)
+        du = jnp.maximum(C - con_ub, 0.0)
+        dl = jnp.maximum(con_lb - C, 0.0)
+        cost += jnp.sum(con_z1 * (du + dl) + 0.5 * con_z2 * (du**2 + dl**2))
+        duu = jnp.maximum(state.U - u_ub, 0.0)
+        dul = jnp.maximum(u_lb - state.U, 0.0)
+        cost += jnp.sum(u_z1 * (duu + dul) + 0.5 * u_z2 * (duu**2 + dul**2))
+        return cost
+
+    # ------------------------------------------------------------------
+    def solve(self, state: RTIState, x0, yref, yref_e, mods=None):
+        """One RTI. Returns (u0, new_state, stats).
+
+        On a NaN solution (acados status 3) the iterate is left unchanged and
+        u0 falls back to the previous first control — the caller decides how
+        to re-initialize, mirroring main.py:59-61.
+        """
+        qp, e, Gam = self._build_qp(state, x0, yref, yref_e, mods)
+        w, kkt = solve_soft_qp_ipm(qp, n_iters=self.newton_iters, n_polish=2)
+
+        dX = e + jnp.einsum("kxz,z->kx", Gam, w)
+        X_new = state.X + dX
+        U_new = state.U + w.reshape(self.N, self.nu)
+
+        # failure detection: non-finite or exploded iterates count as NAN_SOL.
+        # (An unstable linearization — e.g. the A-product chain along a
+        # spinning/saturated trajectory — can produce astronomically large
+        # yet finite QP data; treat the result like acados status 3 so the
+        # caller re-initializes, main.py:59-61.)
+        bad = jnp.logical_not(
+            jnp.all(jnp.isfinite(X_new))
+            & jnp.all(jnp.isfinite(U_new))
+            & (jnp.max(jnp.abs(X_new)) < 1e7)
+            & (jnp.max(jnp.abs(U_new)) < 1e4)
+        )
+        X_new = jnp.where(bad, state.X, X_new)
+        U_new = jnp.where(bad, state.U, U_new)
+        new_state = RTIState(X=X_new, U=U_new)
+
+        stats = SolverStats(
+            cost=self.nonlinear_cost(new_state, yref, yref_e, mods),
+            kkt_res=kkt,
+            sqp_iter=jnp.array(1, dtype=jnp.int32),
+            qp_iter=jnp.array(self.newton_iters, dtype=jnp.int32),
+            status=jnp.where(bad, 3, 0).astype(jnp.int32),
+        )
+        return U_new[0], new_state, stats

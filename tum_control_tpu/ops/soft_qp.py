@@ -1,0 +1,128 @@
+"""Exact solver for soft-constrained condensed QPs (the HPIPM replacement).
+
+The reference delegates each RTI quadratic subproblem to HPIPM after full
+condensing (NMPC_STM_acados_settings.py:231: FULL_CONDENSING_HPIPM). A key
+structural fact of the reference OCPs is that *every* inequality is softened
+with L1+L2 slack penalties (Jsbu/Jsbx/Jsh = identity, ibid.:164-224) — the
+only hard constraints are the dynamics and the initial state, which
+condensing eliminates. Optimal slacks then have the closed form
+s* = max(0, violation), so the QP is *exactly* equivalent to the
+unconstrained strictly-convex piecewise-quadratic program
+
+    min_w  0.5 w'H0 w + g0'w + sum_i psi_i(G_i w + c0_i)
+
+    psi_i(v) = z1_i max(0, v - ub_i) + 0.5 z2_i max(0, v - ub_i)^2
+             + z1_i max(0, lb_i - v) + 0.5 z2_i max(0, lb_i - v)^2
+
+(acados slack cost convention: zl's + 0.5 s'Zl s). We solve it with a
+semismooth (active-set reweighted) Newton method: each iteration assembles
+H = H0 + G' D G over the currently violated rows, takes a Cholesky step and
+a vectorized best-of-alpha line search on the exact objective. The problem
+is piecewise quadratic, so once the active set settles a single full step
+lands on the exact minimizer — the same point HPIPM's interior point
+converges to. Fixed iteration count, static shapes, batched via `vmap`:
+one TPU program solves thousands of QPs.
+
+Hard rows (e.g. the node-0 input bound, which acados keeps unsoftened:
+Zl_0 has only nh entries, NMPC_STM_acados_settings.py:192-198) are encoded
+with z1 = 0 and a large z2.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CondensedQP(NamedTuple):
+    H0: jnp.ndarray   # (nz, nz) positive-definite base Hessian
+    g0: jnp.ndarray   # (nz,)
+    G: jnp.ndarray    # (nc, nz) constraint rows
+    c0: jnp.ndarray   # (nc,)    constraint values at w = 0
+    lb: jnp.ndarray   # (nc,)
+    ub: jnp.ndarray   # (nc,)
+    z1: jnp.ndarray   # (nc,) linear slack penalty
+    z2: jnp.ndarray   # (nc,) quadratic slack penalty
+
+
+def _penalty(qp: CondensedQP, v):
+    du = v - qp.ub
+    dl = qp.lb - v
+    pu = jnp.where(du > 0, qp.z1 * du + 0.5 * qp.z2 * du * du, 0.0)
+    plo = jnp.where(dl > 0, qp.z1 * dl + 0.5 * qp.z2 * dl * dl, 0.0)
+    return jnp.sum(pu + plo)
+
+
+def objective(qp: CondensedQP, w):
+    return 0.5 * w @ (qp.H0 @ w) + qp.g0 @ w + _penalty(qp, qp.G @ w + qp.c0)
+
+
+def solve_soft_qp(qp: CondensedQP, n_iters: int = 15, reg: float = 1e-9):
+    """Semismooth-Newton solve from w = 0; returns (w*, kkt_residual_inf)."""
+    w0 = jnp.zeros(qp.H0.shape[0], dtype=qp.H0.dtype)
+    return newton_polish(qp, w0, n_iters=n_iters, reg=reg)
+
+
+def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9):
+    """Semismooth Newton with exact (bisection) line search from w0."""
+    nz = qp.H0.shape[0]
+    eye = jnp.eye(nz, dtype=qp.H0.dtype)
+
+    def body(w, _):
+        v = qp.G @ w + qp.c0
+        du = v - qp.ub
+        dl = qp.lb - v
+        au = du > 0
+        al = dl > 0
+        gamma = jnp.where(au, qp.z1 + qp.z2 * du, 0.0) - jnp.where(al, qp.z1 + qp.z2 * dl, 0.0)
+        d = jnp.where(au | al, qp.z2, 0.0)
+        grad = qp.H0 @ w + qp.g0 + qp.G.T @ gamma
+        H = qp.H0 + (qp.G * d[:, None]).T @ qp.G + reg * eye
+        L = jnp.linalg.cholesky(H)
+        p = -jax.scipy.linalg.cho_solve((L, True), grad)
+
+        # exact line search: phi(alpha) = objective(w + alpha p) is convex
+        # piecewise quadratic, so phi'(alpha) is nondecreasing piecewise
+        # linear — find its root by bracket expansion + bisection.
+        s = qp.G @ p
+        q1 = (qp.H0 @ w + qp.g0) @ p  # phi'(0) of the smooth part
+        q2 = p @ (qp.H0 @ p)
+
+        def dphi(alpha):
+            va = v + alpha * s
+            duu = va - qp.ub
+            dll = qp.lb - va
+            pen = jnp.where(duu > 0, qp.z1 + qp.z2 * duu, 0.0) - jnp.where(
+                dll > 0, qp.z1 + qp.z2 * dll, 0.0
+            )
+            return q1 + q2 * alpha + pen @ s
+
+        # expand the bracket: smallest 2^k (k <= 8) with dphi >= 0
+        ks = 2.0 ** jnp.arange(9)
+        dvals = jax.vmap(dphi)(ks)
+        pos = dvals >= 0
+        hi = jnp.where(jnp.any(pos), ks[jnp.argmax(pos)], ks[-1])
+
+        def bisect(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            up = dphi(mid) > 0
+            return jnp.where(up, lo, mid), jnp.where(up, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, 45, bisect, (jnp.zeros_like(hi), hi))
+        alpha = 0.5 * (lo + hi)
+        # guard NaN directions (singular H despite reg): keep w
+        w_new = w + alpha * p
+        w_new = jnp.where(jnp.all(jnp.isfinite(w_new)), w_new, w)
+        return w_new, jnp.max(jnp.abs(grad))
+
+    w, kkts = jax.lax.scan(body, w0, None, length=n_iters)
+
+    # final KKT residual at the solution
+    v = qp.G @ w + qp.c0
+    du = v - qp.ub
+    dl = qp.lb - v
+    gamma = jnp.where(du > 0, qp.z1 + qp.z2 * du, 0.0) - jnp.where(dl > 0, qp.z1 + qp.z2 * dl, 0.0)
+    kkt = jnp.max(jnp.abs(qp.H0 @ w + qp.g0 + qp.G.T @ gamma))
+    return w, kkt

@@ -1,0 +1,77 @@
+"""Planner emulator: extract + resample the upcoming reference window.
+
+Vectorized, jit-safe equivalent of the reference's PlannerEmulator
+(Utils/MPC_sim_utils.py:137-194):
+
+  1. nearest reference point to the current pose (argmin of squared dists —
+     replaces the scipy cdist call),
+  2. walk indices forward, accumulating per-segment traversal time until the
+     cumulative time exceeds the prediction horizon Tp (wrapping at the track
+     end for circuits) — done here as a cumsum over a static-size gathered
+     window + argmax instead of a data-dependent while loop,
+  3. resample the extracted window to exactly `n_out` points by linear
+     interpolation over fractional indices (np.interp equivalent). Yaw is
+     interpolated circularly per segment, reproducing the reference's
+     unwrap-interp-mod treatment of the 0/2pi seam without its conditional.
+
+Everything runs on device with static shapes, so it fuses into the
+closed-loop `lax.scan` step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tum_control_tpu.track.trajectory import RefTrajectory
+
+# Maximum number of raw trajectory points a Tp-window can span. The walk
+# gathers this many segment times; 512 covers Tp = 3.04 s at point spacings
+# down to ~0.25 m at full speed (the shipped trajectories use ~1 m spacing).
+MAX_WINDOW = 512
+
+
+class RefWindow(NamedTuple):
+    """Resampled reference window handed to the controller (n_out points)."""
+
+    pos: jnp.ndarray  # (n_out, 2)
+    yaw: jnp.ndarray  # (n_out,)
+    v: jnp.ndarray    # (n_out,)
+
+
+def _circular_lerp(y0, y1, frac, period=2.0 * jnp.pi):
+    """Interpolate angles along the shortest arc, result in [0, period)."""
+    d = jnp.mod(y1 - y0 + 0.5 * period, period) - 0.5 * period
+    return jnp.mod(y0 + frac * d, period)
+
+
+def planner_emulator(traj: RefTrajectory, pose_xy, Tp: float, n_out: int) -> tuple:
+    """Return (closest_point_index, RefWindow with n_out points).
+
+    `pose_xy`: (2,) current vehicle position. `n_out` = N + 1 nodes.
+    """
+    M = traj.n_points
+    d2 = jnp.sum((traj.pos - pose_xy[None, :]) ** 2, axis=1)
+    c = jnp.argmin(d2)
+
+    # time walk: cumulative traversal time of segments c+1, c+2, ... (mod M)
+    walk_idx = jnp.mod(c + 1 + jnp.arange(MAX_WINDOW), M)
+    cum = jnp.cumsum(traj.seg_time[walk_idx])
+    # number of appended points = first k (1-based) with cum > Tp
+    exceeded = cum > Tp
+    n_app = jnp.where(jnp.any(exceeded), jnp.argmax(exceeded) + 1, MAX_WINDOW)
+    n_pts = n_app + 1  # including the closest point itself
+
+    # resample to n_out points over fractional window indices [0, n_pts-1]
+    q = jnp.linspace(0.0, 1.0, n_out) * (n_pts - 1).astype(d2.dtype)
+    i0 = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, n_pts - 1)
+    i1 = jnp.clip(i0 + 1, 0, n_pts - 1)
+    frac = q - i0.astype(q.dtype)
+    g0 = jnp.mod(c + i0, M)
+    g1 = jnp.mod(c + i1, M)
+
+    lerp = lambda arr: arr[g0] * (1.0 - frac) + arr[g1] * frac
+    pos = traj.pos[g0] * (1.0 - frac)[:, None] + traj.pos[g1] * frac[:, None]
+    yaw = _circular_lerp(traj.yaw[g0], traj.yaw[g1], frac)
+    v = lerp(traj.v)
+    return c, RefWindow(pos=pos, yaw=yaw, v=v)
