@@ -1,0 +1,98 @@
+"""Headline benchmark: aggregate NMPC solve throughput on one TPU chip.
+
+Measures the full closed-loop step (planner window extraction + SQP-RTI
+solve + plant RK4 + state estimation) — strictly more work per solve than
+the reference's 1.026 ms mean *solver-only* time (BASELINE.md) — batched
+over vmapped scenarios, and prints ONE JSON line:
+
+    {"metric": "nmpc_solves_per_sec", "value": ..., "unit": "solve/s",
+     "vs_baseline": ...}
+
+vs_baseline = our aggregate solves/s divided by the reference's equivalent
+(1 / 1.026 ms = 974.7 solve/s; acados is single-stream — it has no batch
+axis). Diagnostics go to stderr.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tum_control_tpu.api import build_simulation
+from tum_control_tpu.config import MPCConfig, SimConfig
+
+BASELINE_SOLVES_PER_SEC = 1.0 / 1.026e-3  # ACC24 nominal NMPC mean solve time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    sim_cfg = SimConfig(sim_mode=0, T=steps * 0.02)
+    sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, MPCConfig())
+    log(f"devices: {jax.devices()}")
+
+    # batch axis: scenarios starting at different points along the lap
+    M = traj.n_points
+    starts = np.linspace(0, M - 1, batch).astype(np.int32)
+    pos = np.asarray(traj.pos)[starts]
+    yaw = np.mod(np.asarray(traj.yaw)[starts], 2 * np.pi)
+    v = np.asarray(traj.v)[starts]
+    x0m_b = jnp.asarray(
+        np.stack([pos[:, 0], pos[:, 1], yaw, v, 0 * v, 0 * v, 0 * v, 0 * v], axis=1),
+        dtype=jnp.float32,
+    )
+    x0s_b = x0m_b[:, :7]
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+
+    run_b = jax.jit(
+        jax.vmap(lambda a, b, k: sim.run(a, b, steps, key=k)), static_argnums=()
+    )
+
+    t0 = time.time()
+    carry, logarr = run_b(x0m_b, x0s_b, keys)
+    jax.block_until_ready(logarr.lat_dev)
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    carry, logarr = run_b(x0m_b, x0s_b, keys)
+    jax.block_until_ready(logarr.lat_dev)
+    dt = time.time() - t0
+    solves = batch * steps
+    sps = solves / dt
+
+    status = np.array(logarr.simSolverDebug[..., 4])
+    ok_frac = float((status == 0).mean())
+    lat = np.abs(np.array(logarr.lat_dev))
+    log(f"batch={batch} steps={steps}: {dt:.3f}s -> {sps:.0f} solves/s")
+    log(f"solver ok fraction: {ok_frac:.4f}; lat_dev p50/p99: "
+        f"{np.percentile(lat, 50):.3f}/{np.percentile(lat, 99):.3f} m")
+
+    # single-stream latency for reference
+    run_1 = jax.jit(lambda a, b: sim.run(a, b, steps))
+    run_1(x0m, x0s)  # compile
+    t0 = time.time()
+    c1, l1 = run_1(x0m, x0s)
+    jax.block_until_ready(l1.lat_dev)
+    log(f"single-stream per-step latency: {(time.time()-t0)/steps*1e3:.3f} ms")
+
+    print(
+        json.dumps(
+            {
+                "metric": "nmpc_solves_per_sec",
+                "value": round(sps, 1),
+                "unit": "solve/s",
+                "vs_baseline": round(sps / BASELINE_SOLVES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
