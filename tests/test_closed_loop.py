@@ -1,0 +1,83 @@
+"""Closed-loop integration tests: all three controller families track the
+reference trajectories; statistical comparison against the golden logs.
+
+The committed golden logs used older model parameters (docs/PARITY.md), so
+closed-loop comparisons are statistical: deviations of the same order, not
+trace equality.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tum_control_tpu.api import build_simulation
+from tum_control_tpu.config import MPCConfig, SimConfig
+from tum_control_tpu.eval.logger import assemble_logs
+
+
+def _run(sim_cfg, mpc_cfg, n_steps, key=0):
+    sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, mpc_cfg)
+    carry, log = jax.jit(lambda: sim.run(x0m, x0s, n_steps, key=jax.random.PRNGKey(key)))()
+    return carry, log, x0m, x0s
+
+
+@pytest.mark.parametrize("controller", ["nominal", "snmpc", "rnmpc"])
+def test_controller_tracks_monteblanco(controller):
+    n = 60 if controller != "nominal" else 150
+    sim_cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    carry, log, *_ = _run(sim_cfg, MPCConfig(controller=controller), n)
+    status = np.array(log.simSolverDebug[:, 4])
+    assert np.all(status == 0)
+    assert float(jnp.max(jnp.abs(log.lat_dev))) < 0.15
+    # steering-rate bound respected on the applied control
+    assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9
+
+
+def test_mode1_runs_and_is_finite():
+    sim_cfg = SimConfig(sim_mode=1, T=2.0)
+    carry, log, *_ = _run(sim_cfg, MPCConfig(), sim_cfg.Nsim)
+    assert np.all(np.isfinite(np.array(log.CiLX)))
+
+
+def test_disturbed_run_reproducible():
+    sim_cfg = SimConfig(
+        sim_mode=0, T=1.0, simulate_disturbances=True, simulate_state_estimation=True
+    )
+    _, log1, *_ = _run(sim_cfg, MPCConfig(), 50, key=7)
+    _, log2, *_ = _run(sim_cfg, MPCConfig(), 50, key=7)
+    np.testing.assert_array_equal(np.array(log1.CiLX), np.array(log2.CiLX))
+    _, log3, *_ = _run(sim_cfg, MPCConfig(), 50, key=8)
+    assert not np.array_equal(np.array(log3.dist_se), np.array(log1.dist_se))
+
+
+def test_log_assembly_shapes():
+    sim_cfg = SimConfig(sim_mode=0, T=0.6)
+    carry, log, x0m, x0s = _run(sim_cfg, MPCConfig(), 30)
+    logs = assemble_logs(log, x0m, x0s, sim_cfg.T)
+    assert logs["MPC_SimX"].shape == (31, 8)
+    assert logs["CiLX"].shape == (31, 7)
+    assert logs["simU"].shape == (30, 2)
+    assert logs["simREF"].shape == (30, 4)
+    assert logs["simSolverDebug"].shape == (30, 5)
+    assert logs["dev_lat"].shape == (30,)
+    # yaw post-processed into [0, 2pi)
+    assert np.all(logs["CiLX"][:, 2] >= 0) and np.all(logs["CiLX"][:, 2] < 2 * np.pi)
+
+
+@pytest.mark.golden
+def test_statistics_vs_golden(golden_nmpc_log):
+    """First 15 s of the nominal no-disturbance run vs the golden ACC24 log:
+    deviations must be of the same order (not trace-equal — see PARITY.md)."""
+    n = 750
+    sim_cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    carry, log, *_ = _run(sim_cfg, MPCConfig(), n)
+    g_lat = np.abs(golden_nmpc_log["dev_lat"][:n])
+    o_lat = np.abs(np.array(log.lat_dev))
+    # same order: our mean within 3x of golden's (and absolutely small)
+    assert o_lat.mean() < max(3.0 * g_lat.mean(), 0.15)
+    assert o_lat.max() < max(3.0 * g_lat.max(), 0.5)
+    # control envelopes comparable
+    g_u = golden_nmpc_log["simU"][:n]
+    o_u = np.array(log.simU)
+    assert np.abs(o_u[:, 1]).max() <= 0.322 + 1e-9
+    assert np.abs(o_u[:, 0]).max() < 3.0 * max(np.abs(g_u[:, 0]).max(), 1.0)

@@ -1,0 +1,203 @@
+"""Stochastic NMPC (SNMPC): PCE-based chance constraints with an
+uncertainty propagation horizon (UPH).
+
+TPU-native equivalent of the reference's Stochastic_NMPC stack
+(SNMPC_class.py + SNMPC_acados_settings.py + pred_model_dynamic_disc.py),
+implementing the method of arXiv:2310.18753. Formulation parity:
+
+  * stacked state of (n_samples+1) x 8 copies; the initial state is fanned
+    from the measured state with std-scaled Hammersley normal samples on
+    the uncertain components (SNMPC_class.py:95, compute_x0dist),
+  * DISCRETE shooting dynamics: one RK4 step per sample over Ts_MPC with a
+    per-node stop flag (nodes >= UPH freeze the samples and propagate only
+    the nominal copy); below the UPH the *nominal* next state is the PCE
+    mean of the propagated samples, A[0,:] @ F(samples)
+    (pred_model_dynamic_disc.py:187-220),
+  * cost only on the nominal block, with vel_abs = sqrt(vlong^2 + vlat^2)
+    (SNMPC_acados_settings.py:62,141-142),
+  * chance constraints as deterministic surrogates: per-sample gg values
+    h_s combine through the PCE regression matrix into mean + kappa*sigma
+    with kappa = sqrt((1-gamma)/gamma); nodes >= UPH use the nominal h
+    (ibid.:111-194).
+
+TPU-first design notes: the per-sample dynamics/constraints are vmapped
+over a sample axis instead of symbolically unrolled; the RTI engine then
+condenses the stacked (88-dim) state exactly like acados' full condensing.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tum_control_tpu.config import MPCConfig
+from tum_control_tpu.controllers import pce
+from tum_control_tpu.controllers.common import (
+    GGTables,
+    N_H,
+    acc_bounds,
+    acc_constraints,
+    wrap_2pi,
+)
+from tum_control_tpu.controllers.nominal import HARD_Z2, ControllerOutput
+from tum_control_tpu.models.integrators import rk4_multistep
+from tum_control_tpu.models.vehicle_stm import pred_ode
+from tum_control_tpu.ops.rti import BIG, OCPFunctions, RTIEngine, RTIState
+from tum_control_tpu.params import TireParams, VehicleParams
+
+
+class StochasticNMPC:
+    """Functional SNMPC; `state` is an RTIState over the stacked state."""
+
+    nu = 2
+
+    def __init__(
+        self,
+        mpc_cfg: MPCConfig,
+        N: int,
+        dt: float,
+        vp: VehicleParams,
+        tp: TireParams,
+        gg: GGTables,
+    ):
+        self.cfg = mpc_cfg
+        self.N, self.dt = N, dt
+        self.vp, self.tp, self.gg = vp, tp, gg
+        shape = mpc_cfg.combined_acc_limits
+        nh = N_H[shape]
+        self.nh = nh
+
+        self.n_samples = mpc_cfg.n_samples
+        self.stds = np.asarray(mpc_cfg.stds)
+        n_vars = int(np.count_nonzero(self.stds))
+        self.w_samples, A_np = pce.regression_matrix(
+            self.n_samples, n_vars, mpc_cfg.expansion_degree
+        )
+        A = jnp.asarray(A_np)
+        A0 = A[0]  # PCE mean weights over samples
+        kappa = float(np.sqrt((1.0 - mpc_cfg.gamma) / mpc_cfg.gamma))
+        uph = mpc_cfg.uncertainty_propagation_horizon
+        # stop flag per node: 1 from UPH onward (SNMPC_class.py:96-98)
+        stop = jnp.asarray((np.arange(N + 1) >= uph).astype(np.float64))
+
+        self.nx = 8 * (self.n_samples + 1)
+        ns1 = self.n_samples + 1
+
+        def rk4(x8, u):
+            return rk4_multistep(lambda xx, uu: pred_ode(xx, uu, vp, tp), x8, u, dt, 1)
+
+        def dyn_step(k, x, u):
+            xs = x.reshape(ns1, 8)
+            nxt = jax.vmap(lambda s: rk4(s, u))(xs)  # all copies propagated
+            frozen = stop[k] == 1.0
+            # samples: freeze beyond the UPH
+            samples_next = jnp.where(frozen, xs[1:], nxt[1:])
+            # nominal: PCE mean of propagated samples below the UPH,
+            # plain RK4 of itself beyond it
+            mean_next = A0 @ nxt[1:].reshape(self.n_samples, 8)
+            nom_next = jnp.where(frozen, nxt[0], mean_next)
+            return jnp.concatenate([nom_next[None], samples_next], axis=0).reshape(-1)
+
+        def y_stage(k, x, u):
+            vel_abs = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
+            return jnp.concatenate(
+                [jnp.stack([x[0], x[1], wrap_2pi(x[2]), vel_abs]), u]
+            )
+
+        def y_term(x):
+            vel_abs = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
+            return jnp.stack([x[0], x[1], wrap_2pi(x[2]), vel_abs])
+
+        def h_of(x8):
+            vel_abs = jnp.sqrt(x8[3] ** 2 + x8[4] ** 2)
+            return acc_constraints(vel_abs, x8[7], x8[3] * x8[5], gg, vp.acc_min, shape)
+
+        def con_stage(k, x):
+            xs = x.reshape(ns1, 8)
+            h_all = jax.vmap(h_of)(xs)          # (ns1, nh)
+            h_nom = h_all[0]
+            coeff = A @ h_all[1:]               # (L, nh)
+            mean = coeff[0]
+            var = jnp.sum(coeff[1:] ** 2, axis=0)
+            h_cc = mean + jnp.sqrt(var + 1e-30) * kappa
+            h = jnp.where(stop[k] == 1.0, h_nom, h_cc)
+            # delta_f bound acts on the nominal copy
+            return jnp.concatenate([h, xs[0, 6:7]])
+
+        W = 0.01 * np.concatenate([np.diag(mpc_cfg.Q()), np.diag(mpc_cfg.R())])
+        We = 0.01 * np.diag(mpc_cfg.Q())
+
+        lh, uh = acc_bounds(shape)
+        L1, L2 = mpc_cfg.L1_pen, mpc_cfg.L2_pen
+        con_lb = np.tile(np.concatenate([lh, [vp.delta_f_min]]), (N + 1, 1))
+        con_ub = np.tile(np.concatenate([uh, [vp.delta_f_max]]), (N + 1, 1))
+        con_lb[0, nh] = -BIG
+        con_ub[0, nh] = BIG
+        con_z1 = np.full_like(con_lb, L1)
+        con_z2 = np.full_like(con_lb, L2)
+        u_lb = np.tile([-BIG, vp.delta_f_dot_min], (N, 1))
+        u_ub = np.tile([BIG, vp.delta_f_dot_max], (N, 1))
+        u_z1 = np.full_like(u_lb, L1)
+        u_z2 = np.full_like(u_lb, L2)
+        u_z1[0, :] = 0.0
+        u_z2[0, :] = HARD_Z2
+
+        self.engine = RTIEngine(
+            funcs=OCPFunctions(dyn_step, y_stage, y_term, con_stage),
+            N=N,
+            nx=self.nx,
+            nu=self.nu,
+            W=jnp.asarray(W),
+            We=jnp.asarray(We),
+            con_lb=jnp.asarray(con_lb),
+            con_ub=jnp.asarray(con_ub),
+            con_z1=jnp.asarray(con_z1),
+            con_z2=jnp.asarray(con_z2),
+            u_lb=jnp.asarray(u_lb),
+            u_ub=jnp.asarray(u_ub),
+            u_z1=jnp.asarray(u_z1),
+            u_z2=jnp.asarray(u_z2),
+            newton_iters=mpc_cfg.qp_iters,
+        )
+
+    # ------------------------------------------------------------------
+    def _fan(self, x0):
+        return pce.fan_initial_state(x0, self.w_samples, self.stds).reshape(-1)
+
+    def init_state(self, x0) -> RTIState:
+        return self.engine.init_state(self._fan(jnp.asarray(x0)))
+
+    def make_yref(self, ref_window):
+        N = self.N
+        stage = jnp.concatenate(
+            [
+                ref_window.pos[:N],
+                ref_window.yaw[:N, None],
+                ref_window.v[:N, None],
+                jnp.zeros((N, self.nu), dtype=ref_window.pos.dtype),
+            ],
+            axis=1,
+        )
+        term = jnp.concatenate(
+            [ref_window.pos[N], jnp.stack([ref_window.yaw[N], ref_window.v[N]])]
+        )
+        return stage, term
+
+    def solve(self, state: RTIState, x0, ref_window, mods=None):
+        yref, yref_e = self.make_yref(ref_window)
+        u0, new_state, st = self.engine.solve(state, self._fan(x0), yref, yref_e, mods)
+        u0 = jnp.stack(
+            [u0[0], jnp.clip(u0[1], self.vp.delta_f_dot_min, self.vp.delta_f_dot_max)]
+        )
+        stats = jnp.stack(
+            [
+                st.cost,
+                jnp.zeros_like(st.cost),
+                st.sqp_iter.astype(st.cost.dtype),
+                st.qp_iter.astype(st.cost.dtype),
+                st.status.astype(st.cost.dtype),
+            ]
+        )
+        # nominal block only, matching SNMPC_class.solve (get(j,"x")[0:8])
+        pred_X = new_state.X[:, :8]
+        return ControllerOutput(u0=u0, pred_X=pred_X, stats=stats), new_state

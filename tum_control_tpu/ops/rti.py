@@ -181,7 +181,7 @@ class RTIEngine:
         )
 
     # ------------------------------------------------------------------
-    def _build_qp(self, state: RTIState, x0, yref, yref_e, mods=None):
+    def _build_qp(self, state: RTIState, x0, yref, yref_e, mods=None, want_A=False):
         W, We, con_lb, con_ub, con_z1, con_z2, u_lb, u_ub, u_z1, u_z2 = self._merged(mods)
         N, nx, nu, nz = self.N, self.nx, self.nu, self.nz
         ks = jnp.arange(N)
@@ -228,6 +228,8 @@ class RTIEngine:
         z2 = jnp.concatenate([con_z2.reshape(-1), u_z2.reshape(-1)])
 
         qp = CondensedQP(H0=H0, g0=g0, G=G, c0=c0, lb=lb, ub=ub, z1=z1, z2=z2)
+        if want_A:
+            return qp, e, Gam, A
         return qp, e, Gam
 
     # ------------------------------------------------------------------
@@ -253,13 +255,20 @@ class RTIEngine:
 
     # ------------------------------------------------------------------
     def solve(self, state: RTIState, x0, yref, yref_e, mods=None):
-        """One RTI. Returns (u0, new_state, stats).
+        """One RTI. Returns (u0, new_state, stats)."""
+        u0, new_state, stats, _ = self.solve_full(state, x0, yref, yref_e, mods)
+        return u0, new_state, stats
+
+    def solve_full(self, state: RTIState, x0, yref, yref_e, mods=None):
+        """One RTI returning also the dynamics sensitivities A (N, nx, nx)
+        of this solve's linearization — the `get_from_qp_in(stage, "A")`
+        data R2NMPC consumes (Reduced_Robustified_NMPC_class.py:295).
 
         On a NaN solution (acados status 3) the iterate is left unchanged and
         u0 falls back to the previous first control — the caller decides how
         to re-initialize, mirroring main.py:59-61.
         """
-        qp, e, Gam = self._build_qp(state, x0, yref, yref_e, mods)
+        qp, e, Gam, A_lin = self._build_qp(state, x0, yref, yref_e, mods, want_A=True)
         w, kkt = solve_soft_qp_ipm(qp, n_iters=self.newton_iters, n_polish=2)
 
         dX = e + jnp.einsum("kxz,z->kx", Gam, w)
@@ -288,4 +297,4 @@ class RTIEngine:
             qp_iter=jnp.array(self.newton_iters, dtype=jnp.int32),
             status=jnp.where(bad, 3, 0).astype(jnp.int32),
         )
-        return U_new[0], new_state, stats
+        return U_new[0], new_state, stats, A_lin
