@@ -1,0 +1,87 @@
+"""Safe-RL WMPC training entry point (reference rl_training.py equivalent).
+
+    python rl_training.py [--updates 180] [--n-envs 16] [--tracks monteblanco modena]
+                          [--out data/wmpc_models/<id>] [--cpu] [--smoke]
+
+Trains a PPO policy that periodically selects NMPC cost-weight sets (the
+Pareto table data/F.csv) to minimize closed-loop tracking deviations. The
+entire pipeline — batched NMPC closed loops, env stepping, PPO updates —
+runs on-device.
+"""
+import argparse
+import os
+
+import numpy as np
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--updates", type=int, default=None, help="PPO updates (default: from total steps)")
+    ap.add_argument("--n-envs", type=int, default=16)
+    ap.add_argument("--tracks", nargs="+", default=["monteblanco", "modena"])
+    ap.add_argument("--out", default="data/wmpc_models/jax_ppo")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true", help="tiny sizes, 2 updates")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tum_control_tpu import config as cfg_mod
+    from tum_control_tpu.api import build_simulation
+    from tum_control_tpu.config import MPCConfig, SimConfig
+    from tum_control_tpu.learn.env import RLEnv, RLEnvConfig
+    from tum_control_tpu.learn.observation import ObservationConfig
+    from tum_control_tpu.learn.ppo import PPOConfig, PPOTrainer
+    from tum_control_tpu.learn.wmpc import load_param_table
+    from tum_control_tpu.track.trajectory import load_ref_trajectory, stack_trajectories
+
+    sim_cfg = SimConfig(sim_mode=0)
+    sim, *_ = build_simulation(sim_cfg, MPCConfig())
+    trajs = [
+        load_ref_trajectory(
+            os.path.join(sim_cfg.trajectory_path, f"reftraj_{t}_edgar.json")
+        )
+        for t in args.tracks
+    ]
+    stacked = stack_trajectories(trajs)
+    table = load_param_table(os.path.join(cfg_mod.REPO_ROOT, "data", "F.csv"))
+
+    env_cfg = RLEnvConfig(n_mpc_steps=5 if args.smoke else 20)
+    env = RLEnv(sim, stacked, table, ObservationConfig(Ts=sim_cfg.Ts), env_cfg)
+    ppo_cfg = PPOConfig(
+        n_envs=2 if args.smoke else args.n_envs,
+        n_steps=4 if args.smoke else 512,
+        batch_size=8 if args.smoke else 4096,
+        n_epochs=2 if args.smoke else 5,
+    )
+    trainer = PPOTrainer(env, ppo_cfg, seed=args.seed)
+    n_updates = args.updates or (
+        2 if args.smoke else max(ppo_cfg.total_steps // (ppo_cfg.n_envs * ppo_cfg.n_steps), 1)
+    )
+    print(f"training: {n_updates} updates x {ppo_cfg.n_envs} envs x {ppo_cfg.n_steps} steps")
+    trainer.train(n_updates, key=jax.random.PRNGKey(args.seed))
+
+    os.makedirs(args.out, exist_ok=True)
+    # save in the same npz layout as converted SB3 checkpoints
+    p = trainer.policy
+    arrs = {}
+    for i, (w, b) in enumerate(zip(p.pi_w, p.pi_b)):
+        arrs[f"mlp_extractor__policy_net__{2*i}__weight"] = np.asarray(w).T
+        arrs[f"mlp_extractor__policy_net__{2*i}__bias"] = np.asarray(b)
+    for i, (w, b) in enumerate(zip(p.vf_w, p.vf_b)):
+        arrs[f"mlp_extractor__value_net__{2*i}__weight"] = np.asarray(w).T
+        arrs[f"mlp_extractor__value_net__{2*i}__bias"] = np.asarray(b)
+    arrs["action_net__weight"] = np.asarray(p.act_w).T
+    arrs["action_net__bias"] = np.asarray(p.act_b)
+    arrs["value_net__weight"] = np.asarray(p.val_w).T
+    arrs["value_net__bias"] = np.asarray(p.val_b)
+    np.savez(os.path.join(args.out, "policy_weights.npz"), **arrs)
+    print(f"saved policy to {args.out}/policy_weights.npz")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,16 +26,55 @@ def build_controller(mpc_cfg: MPCConfig, sim_cfg: SimConfig, config_path: str = 
     if name == "nominal":
         from tum_control_tpu.controllers.nominal import NominalNMPC
 
-        return NominalNMPC(mpc_cfg, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
-    if name == "snmpc":
+        ctrl = NominalNMPC(mpc_cfg, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
+    elif name == "snmpc":
         from tum_control_tpu.controllers.snmpc import StochasticNMPC
 
-        return StochasticNMPC(mpc_cfg, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
-    if name == "rnmpc":
+        ctrl = StochasticNMPC(mpc_cfg, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
+    elif name == "rnmpc":
         from tum_control_tpu.controllers.rnmpc import ReducedRobustNMPC
 
-        return ReducedRobustNMPC(mpc_cfg, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
-    raise ValueError(f"unknown controller '{mpc_cfg.controller}'")
+        ctrl = ReducedRobustNMPC(mpc_cfg, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
+    else:
+        raise ValueError(f"unknown controller '{mpc_cfg.controller}'")
+
+    if mpc_cfg.enable_WMPC:
+        if name == "rnmpc":
+            raise NotImplementedError(
+                "WMPC wrapping of R2NMPC (both carry extra state) is not wired yet"
+            )
+        ctrl = _wrap_wmpc(ctrl, mpc_cfg, sim_cfg)
+    return ctrl
+
+
+def _wrap_wmpc(ctrl, mpc_cfg: MPCConfig, sim_cfg: SimConfig):
+    """Attach the Weights-varying MPC policy (NMPC_class.py:120-160 analog)."""
+    import yaml
+
+    from tum_control_tpu.learn.observation import ObservationConfig
+    from tum_control_tpu.learn.policy import load_sb3_policy
+    from tum_control_tpu.learn.wmpc import WMPCController, load_param_table
+
+    model_dir = mpc_cfg.WMPC_model
+    if not os.path.isabs(model_dir):
+        model_dir = os.path.join(cfg_mod.REPO_ROOT, model_dir)
+    policy = load_sb3_policy(os.path.join(model_dir, "policy_weights.npz"))
+    rl_cfg_path = os.path.join(model_dir, "rl_config.yaml")
+    n_points, n_stack = 10, 1
+    if os.path.exists(rl_cfg_path):
+        with open(rl_cfg_path) as fh:
+            rl_cfg = yaml.safe_load(fh)
+        n_points = int(rl_cfg.get("obs_n_anticipation_points", 10))
+        n_stack = int(rl_cfg.get("n_obs_stack", 1))
+    table = load_param_table(os.path.join(cfg_mod.REPO_ROOT, "data", "F.csv"))
+    return WMPCController(
+        base=ctrl,
+        policy=policy,
+        param_table=table,
+        obs_cfg=ObservationConfig(n_points=n_points, Ts=sim_cfg.Ts),
+        update_period=mpc_cfg.weights_update_period,
+        n_stack=n_stack,
+    )
 
 
 def build_simulation(sim_cfg: SimConfig, mpc_cfg: MPCConfig, config_path: str = None):

@@ -104,12 +104,16 @@ class ClosedLoopSim:
         )
 
     # ------------------------------------------------------------------
-    def step(self, carry: SimCarry, step_in) -> tuple:
+    def step(self, carry: SimCarry, step_in, traj=None, mods=None) -> tuple:
+        """One closed-loop step. `traj` overrides the default trajectory
+        (multi-track RL environments pass a per-episode lap); `mods`
+        overrides QP weights/bounds for this solve (RL weight actions)."""
         i, w_deriv_play, w_se_play = step_in
+        traj = self.traj if traj is None else traj
         key, k1, k2 = jax.random.split(carry.key, 3)
 
         # --- planner emulator (PlannerEmulator, MPC_sim_utils.py:137-194)
-        _, window = planner_emulator(self.traj, carry.pose, self.Tp, self.N + 1)
+        _, window = planner_emulator(traj, carry.pose, self.Tp, self.N + 1)
 
         # --- controller RTI solve (NMPC_class.solve)
         if carry.extra is not None:
@@ -117,7 +121,9 @@ class ClosedLoopSim:
                 carry.ctrl_state, carry.extra, carry.x_est, window
             )
         else:
-            out, ctrl_state = self.controller.solve(carry.ctrl_state, carry.x_est, window)
+            out, ctrl_state = self.controller.solve(
+                carry.ctrl_state, carry.x_est, window, mods=mods
+            )
             extra = None
         status = out.stats[4]
 

@@ -50,7 +50,7 @@ def planner_emulator(traj: RefTrajectory, pose_xy, Tp: float, n_out: int) -> tup
 
     `pose_xy`: (2,) current vehicle position. `n_out` = N + 1 nodes.
     """
-    M = traj.n_points
+    M = traj.n_valid  # real lap length (padded slots carry far-away fills)
     d2 = jnp.sum((traj.pos - pose_xy[None, :]) ** 2, axis=1)
     c = jnp.argmin(d2)
 

@@ -29,9 +29,11 @@ class RefTrajectory(NamedTuple):
     v: jnp.ndarray         # (M,)   ref_v
     acc: jnp.ndarray       # (M,)   ref_acc
     seg_time: jnp.ndarray  # (M,)   traversal time of segment ending at j
+    n_valid: jnp.ndarray   # ()     number of real points (<= M when padded)
 
     @property
     def n_points(self) -> int:
+        """Padded array length (static)."""
         return self.pos.shape[0]
 
 
@@ -61,7 +63,41 @@ def load_ref_trajectory(path: str, dtype=None) -> RefTrajectory:
         v=jnp.asarray(v, dtype=dtype),
         acc=jnp.asarray(acc, dtype=dtype),
         seg_time=jnp.asarray(seg, dtype=dtype),
+        n_valid=jnp.asarray(pos.shape[0], dtype=jnp.int32),
     )
+
+
+def stack_trajectories(trajs) -> RefTrajectory:
+    """Pad trajectories to a common length and stack along a leading axis.
+
+    Padded slots get far-away positions (never the nearest point) and huge
+    segment times (never inside a planner window); `n_valid` keeps the real
+    length, which the planner uses for all modular index arithmetic. Select
+    one lap with `jax.tree.map(lambda a: a[i], stacked)`.
+    """
+    import jax
+
+    M = max(int(t.n_valid) for t in trajs)
+
+    def pad(a, fill):
+        m = a.shape[0]
+        if m == M:
+            return a
+        pad_width = [(0, M - m)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad_width, constant_values=fill)
+
+    padded = [
+        RefTrajectory(
+            pos=pad(t.pos, 1e7),
+            yaw=pad(t.yaw, 0.0),
+            v=pad(t.v, 1.0),
+            acc=pad(t.acc, 0.0),
+            seg_time=pad(t.seg_time, 1e7),
+            n_valid=t.n_valid,
+        )
+        for t in trajs
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
 
 
 def load_track(path: str) -> Track:
