@@ -1,0 +1,60 @@
+"""Extract + reduce Pareto parameter sets from stored BO trials
+(reference bo_postprocess_parameters.py analog).
+
+    python bo_postprocess_parameters.py TRIALS_CSV [--out data/F_new.csv]
+                                        [--per-group 13] [--plot fronts.png]
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trials_csv")
+    ap.add_argument("--out", default="data/F_new.csv")
+    ap.add_argument("--per-group", type=int, default=13)
+    ap.add_argument("--plot", default=None)
+    args = ap.parse_args()
+
+    from tum_control_tpu.learn.bo.optimizer import BayesianOptimizer, BOConfig
+    from tum_control_tpu.learn.bo.postprocess import export_parameter_sets, extract_pareto
+
+    bo = BayesianOptimizer(evaluators=[], cfg=BOConfig())
+    bo.load_trials(args.trials_csv)
+    print(f"loaded {len(bo.trials)} trials "
+          f"({sum(t.feasible for t in bo.trials)} feasible)")
+
+    table = export_parameter_sets(bo.trials, args.out, n_per_group=args.per_group)
+    print(f"exported {len(table)} parameter sets to {args.out}")
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axs = plt.subplots(1, 2, figsize=(11, 5))
+        for g, ax in enumerate(axs):
+            Y_all = np.asarray([t.objectives[g] for t in bo.trials if t.feasible])
+            _, Yp = extract_pareto(bo.trials, g)
+            if len(Y_all):
+                ax.scatter(Y_all[:, 0], Y_all[:, 1], s=8, alpha=0.4, label="trials")
+            if len(Yp):
+                o = np.argsort(Yp[:, 0])
+                ax.plot(Yp[o, 0], Yp[o, 1], "r.-", label="Pareto front")
+            ax.set_title(f"segment group {g}")
+            ax.set_xlabel("-max |lat_dev| [m]")
+            ax.set_ylabel("-RMS vel_dev [m/s]")
+            ax.legend()
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=120)
+        print(f"front plot -> {args.plot}")
+
+
+if __name__ == "__main__":
+    main()

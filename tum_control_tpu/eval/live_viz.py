@@ -1,0 +1,110 @@
+"""Live visualization: animated closed-loop replay (modes 1 and 2) + GIF.
+
+Equivalent of the reference's live-viz stack (Utils/MPC_sim_utils.py:268-487,
+Logging_Plotting.py:81-118,193-229):
+
+  * mode 1 — x/y track view with vehicle footprint, reference window and a
+    trailing path,
+  * mode 2 — track view + velocity trace + lateral-deviation trace + gg
+    scatter diagram,
+  * optional GIF export via imageio.
+
+The TPU-first pipeline separates compute from rendering: the whole run
+executes on-device first, then this module animates the *logged* arrays at
+any frame-skip — same figures without throttling the control loop (the
+reference warns that GIF generation slows the simulation; here it cannot).
+Use `animate(...)` with `show=True` for an interactive session or
+`gif_path=` for headless export.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _car_outline(x, y, yaw, length, width):
+    """Vehicle footprint polygon (gen_car_shape analog, MPC_sim_utils.py:249-265)."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    dx = np.array([length / 2, length / 2, -length / 2, -length / 2, length / 2])
+    dy = np.array([width / 2, -width / 2, -width / 2, width / 2, width / 2])
+    return x + c * dx - s * dy, y + s * dx + c * dy
+
+
+def animate(
+    logs: dict,
+    track=None,
+    mode: int = 2,
+    frame_skip: int = 10,
+    veh_length: float = 4.973,
+    veh_width: float = 1.941,
+    window: float = 100.0,
+    gif_path: str = None,
+    show: bool = False,
+    gg_table=None,
+):
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    CiLX, REF, t = logs["CiLX"], logs["simREF"], logs["t"]
+    n = REF.shape[0]
+    frames = range(1, n, frame_skip)
+
+    if mode == 1:
+        fig, ax_xy = plt.subplots(figsize=(9, 9))
+        extra = {}
+    else:
+        fig = plt.figure(figsize=(15, 8))
+        ax_xy = fig.add_subplot(2, 2, (1, 3))
+        ax_vel = fig.add_subplot(2, 4, 3)
+        ax_dev = fig.add_subplot(2, 4, 4)
+        ax_gg = fig.add_subplot(2, 4, (7, 8))
+        extra = {"vel": ax_vel, "dev": ax_dev, "gg": ax_gg}
+
+    images = []
+    for i in frames:
+        ax_xy.clear()
+        if track is not None:
+            ax_xy.plot(track.center[:, 0], track.center[:, 1], "k--", lw=0.5)
+            ax_xy.plot(track.inner[:, 0], track.inner[:, 1], "k", lw=0.8)
+            ax_xy.plot(track.outer[:, 0], track.outer[:, 1], "k", lw=0.8)
+        ax_xy.plot(CiLX[: i + 1, 0], CiLX[: i + 1, 1], "b", lw=1.0)
+        cx, cy = _car_outline(CiLX[i, 0], CiLX[i, 1], CiLX[i, 2], veh_length, veh_width)
+        ax_xy.plot(cx, cy, "r")
+        ax_xy.set_xlim(CiLX[i, 0] - window / 2, CiLX[i, 0] + window / 2)
+        ax_xy.set_ylim(CiLX[i, 1] - window / 2, CiLX[i, 1] + window / 2)
+        ax_xy.set_title(f"t = {t[i-1]:.2f} s   v = {CiLX[i,3]:.1f} m/s")
+        ax_xy.set_aspect("equal")
+
+        if mode == 2:
+            extra["vel"].clear()
+            extra["vel"].plot(t[:i], REF[:i, 3], "k--", lw=0.8)
+            extra["vel"].plot(t[:i], CiLX[1 : i + 1, 3], "b", lw=0.8)
+            extra["vel"].set_title("velocity [m/s]")
+            extra["dev"].clear()
+            extra["dev"].plot(t[:i], logs["dev_lat"][:i], "b", lw=0.8)
+            extra["dev"].set_title("lateral deviation [m]")
+            extra["gg"].clear()
+            alat = logs["a_lat"][1 : i + 1]
+            alon = logs["MPC_SimX"][1 : i + 1, 7]
+            extra["gg"].scatter(alat, alon, s=2, c=t[:i], cmap="viridis")
+            extra["gg"].set_xlabel("a_lat [m/s2]")
+            extra["gg"].set_ylabel("a_lon [m/s2]")
+            extra["gg"].set_xlim(-8, 8)
+            extra["gg"].set_ylim(-5, 4)
+
+        if gif_path is not None:
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            images.append(buf.copy())
+        if show:
+            plt.pause(1e-5)
+
+    if gif_path is not None and images:
+        import imageio
+
+        imageio.mimsave(gif_path, images, fps=10)
+    if not show:
+        plt.close(fig)
+    return len(images)

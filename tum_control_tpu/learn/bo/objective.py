@@ -155,10 +155,18 @@ class ObjectiveEvaluator:
         segments, and a candidate is infeasible if ANY segment crashes
         (objective_function.py:158-172).
         """
-        run_cs = jax.vmap(
-            jax.vmap(self._run_one, in_axes=(None, 0, 0, 0)), in_axes=(0, None, None, None)
-        )
-        f, feas = run_cs(params, seg.track, seg.start, seg.end)  # (C,S,2),(C,S)
+        # flatten (candidates x segments) into ONE vmap axis — a single batch
+        # dimension keeps the Pallas linear-algebra kernels on their batched
+        # path (nested vmaps would have to map through the kernel call)
+        C = params.shape[0]
+        S = seg.track.shape[0]
+        p_flat = jnp.repeat(params, S, axis=0)
+        tr = jnp.tile(seg.track, C)
+        st = jnp.tile(seg.start, C)
+        en = jnp.tile(seg.end, C)
+        f_flat, feas_flat = jax.vmap(self._run_one)(p_flat, tr, st, en)
+        f = f_flat.reshape(C, S, 2)
+        feas = feas_flat.reshape(C, S)
         feasible = jnp.all(feas, axis=1)
         objs = jnp.mean(f, axis=1)  # NaN propagates from crashed segments
         objs = jnp.where(feasible[:, None], objs, jnp.nan)

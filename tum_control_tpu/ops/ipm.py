@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tum_control_tpu.ops.pallas_kernels.chol import chol_apply, chol_factor
 from tum_control_tpu.ops.soft_qp import CondensedQP, newton_polish
 
 BIG_THRESH = 1e10  # row sides with |bound| above this are treated as absent
@@ -98,7 +99,7 @@ def solve_soft_qp_ipm(
 
         r_w = H0 @ w + g0 + G.T @ (lam_u - lam_l)
         H = H0 + (G * (sig_u + sig_l)[:, None]).T @ G + 1e-11 * eye
-        L = jnp.linalg.cholesky(H)
+        L = chol_factor(H)
 
         def max_step(x, dx, mask):
             ratio = jnp.where(mask & (dx < 0), -x / jnp.where(dx < 0, dx, -1.0), jnp.inf)
@@ -114,7 +115,7 @@ def solve_soft_qp_ipm(
             chat_l = jnp.where(
                 act_l, (tau / pl - lam_l + lam_l * r_pl / pl - ipb_l * a_l) / D_l, 0.0
             )
-            dw = -jax.scipy.linalg.cho_solve((L, True), r_w + G.T @ (chat_u - chat_l))
+            dw = -chol_apply(L, r_w + G.T @ (chat_u - chat_l))
             Gdw = G @ dw
             dlam_u = jnp.where(act_u, chat_u + sig_u * Gdw, 0.0)
             dlam_l = jnp.where(act_l, chat_l - sig_l * Gdw, 0.0)

@@ -1,0 +1,196 @@
+"""Pallas TPU kernels: batched small-matrix Cholesky factorization + solves.
+
+XLA's batched `cholesky` on TPU is catastrophically slow for many small
+matrices (measured 2.3 ms for (256, 76, 76) f32 on v5e — 27x the cost of a
+same-shape batched matmul), because its blocked algorithm is built for one
+large matrix. Since every IPM iteration of every scenario's QP needs one
+(nz x nz) factorization + triangular solves, this is THE hot spot of the
+whole framework (SURVEY.md §2.3: the BLASFEO role).
+
+The kernels here use a batch-in-lanes layout: operands are (n, n, 128)
+tiles with the *batch* in the 128-wide lane dimension, so the sequential
+pivot loop runs VPU-wide elementwise ops over 128 scenarios at once:
+
+  * `_chol_kernel`   — right-looking Cholesky, one rank-1 update per pivot
+  * `_solve_kernel`  — column-oriented forward + backward substitution
+
+Wrappers pad n to a sublane multiple and the batch to a lane multiple and
+fall back to jnp on non-TPU backends. `batched_cholesky_solve` is the
+drop-in replacement for cholesky+cho_solve inside the QP solvers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _chol_kernel(a_ref, l_ref):
+    n = a_ref.shape[1]
+    l_ref[...] = a_ref[...]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def pivot(j, _):
+        Ajj = l_ref[0, j, j, :]                      # (128,)
+        inv = jax.lax.rsqrt(Ajj)
+        col = l_ref[0, :, j, :] * inv[None, :]        # (n, 128)
+        col = jnp.where(rows1 >= j, col, 0.0)
+        # trailing update, strictly columns > j (cols <= j already hold L)
+        upd = col[:, None, :] * col[None, :, :]       # (n, n, 128)
+        upd = jnp.where(cols > j, upd, 0.0)
+        l_ref[0] = l_ref[0] - upd
+        # write the finished column j
+        l_ref[0, :, j, :] = col
+        return 0
+
+    jax.lax.fori_loop(0, n, pivot, 0)
+    # zero the strict upper triangle
+    l_ref[0] = jnp.where(rows >= cols, l_ref[0], 0.0)
+
+
+def _solve_kernel(l_ref, b_ref, x_ref):
+    """Solve L L^T x = b for (n, 128) right-hand sides (in-place on x_ref —
+    Mosaic supports dynamic indexing on refs, not on loop-carried values)."""
+    n = l_ref.shape[1]
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    x_ref[0] = b_ref[0]
+
+    def fwd(j, _):
+        inv = 1.0 / l_ref[0, j, j, :]
+        yj = x_ref[0, j, :] * inv                     # (128,)
+        col = l_ref[0, :, j, :]                       # (n, 128)
+        x_ref[0] = x_ref[0] - jnp.where(rows1 > j, col, 0.0) * yj[None, :]
+        x_ref[0, j, :] = yj
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+
+    def bwd(i, _):
+        j = n - 1 - i
+        inv = 1.0 / l_ref[0, j, j, :]
+        xj = x_ref[0, j, :] * inv
+        row = l_ref[0, j, :, :]                       # L[j, :] = L^T[:, j]
+        x_ref[0] = x_ref[0] - jnp.where(rows1 < j, row, 0.0) * xj[None, :]
+        x_ref[0, j, :] = xj
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+def _pad_batch(a, lanes=LANES):
+    B = a.shape[0]
+    Bp = -(-B // lanes) * lanes
+    if Bp != B:
+        a = jnp.concatenate(
+            [a, jnp.zeros((Bp - B,) + a.shape[1:], a.dtype)], axis=0
+        )
+    return a, B, Bp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _cholesky_tpu(H):
+    """(B, n, n) -> (B, n, n) lower Cholesky factors via the Pallas kernel."""
+    Hp, B, Bp = _pad_batch(H)
+    n = H.shape[1]
+    # pad the diagonal of the padded scenarios so rsqrt stays finite
+    if Bp != B:
+        eye = jnp.eye(n, dtype=H.dtype)
+        pad_ids = jnp.arange(Bp) >= B
+        Hp = jnp.where(pad_ids[:, None, None], eye[None], Hp)
+    Ht = jnp.transpose(Hp.reshape(Bp // LANES, LANES, n, n), (0, 2, 3, 1))
+    grid = (Bp // LANES,)
+    Lt = pl.pallas_call(
+        _chol_kernel,
+        out_shape=jax.ShapeDtypeStruct(Ht.shape, Ht.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, n, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, n, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(Ht)
+    L = jnp.transpose(Lt, (0, 3, 1, 2)).reshape(Bp, n, n)
+    return L[:B]
+
+
+def _solve_tpu(L, b):
+    """(B, n, n), (B, n) -> (B, n) solving L L^T x = b."""
+    Lp, B, Bp = _pad_batch(L)
+    bp, _, _ = _pad_batch(b)
+    n = L.shape[1]
+    if Bp != B:
+        eye = jnp.eye(n, dtype=L.dtype)
+        pad_ids = jnp.arange(Bp) >= B
+        Lp = jnp.where(pad_ids[:, None, None], eye[None], Lp)
+    Lt = jnp.transpose(Lp.reshape(Bp // LANES, LANES, n, n), (0, 2, 3, 1))
+    bt = jnp.transpose(bp.reshape(Bp // LANES, LANES, n), (0, 2, 1))
+    grid = (Bp // LANES,)
+    xt = pl.pallas_call(
+        _solve_kernel,
+        out_shape=jax.ShapeDtypeStruct(bt.shape, bt.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, n, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(Lt, bt)
+    x = jnp.transpose(xt, (0, 2, 1)).reshape(Bp, n)
+    return x[:B]
+
+
+def batched_cholesky(H):
+    if jax.default_backend() == "tpu" and H.dtype == jnp.float32:
+        return _cholesky_tpu(H)
+    return jnp.linalg.cholesky(H)
+
+
+def batched_cholesky_solve(L, b):
+    if jax.default_backend() == "tpu" and L.dtype == jnp.float32:
+        return _solve_tpu(L, b)
+    return jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0] if b.ndim == L.ndim - 1 else jax.scipy.linalg.cho_solve((L, True), b)
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers: per-scenario QP code (written for a single matrix)
+# automatically dispatches to the batched Pallas kernels under `vmap`.
+# ---------------------------------------------------------------------------
+from jax import custom_batching  # noqa: E402
+
+
+@custom_batching.custom_vmap
+def chol_factor(H):
+    """Lower Cholesky factor of one SPD matrix (batched rule -> Pallas)."""
+    return jnp.linalg.cholesky(H)
+
+
+@chol_factor.def_vmap
+def _chol_factor_vmap(axis_size, in_batched, H):
+    del axis_size
+    (h_b,) = in_batched
+    assert h_b, "chol_factor: H must carry the batch axis"
+    return batched_cholesky(H), True
+
+
+@custom_batching.custom_vmap
+def chol_apply(L, b):
+    """Solve L L^T x = b for one factor/rhs (batched rule -> Pallas)."""
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
+@chol_apply.def_vmap
+def _chol_apply_vmap(axis_size, in_batched, L, b):
+    l_b, b_b = in_batched
+    if not l_b:
+        L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
+    if not b_b:
+        b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+    return batched_cholesky_solve(L, b), True

@@ -34,6 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tum_control_tpu.ops.pallas_kernels.chol import chol_apply, chol_factor
+
 
 class CondensedQP(NamedTuple):
     H0: jnp.ndarray   # (nz, nz) positive-definite base Hessian
@@ -79,8 +81,8 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9):
         d = jnp.where(au | al, qp.z2, 0.0)
         grad = qp.H0 @ w + qp.g0 + qp.G.T @ gamma
         H = qp.H0 + (qp.G * d[:, None]).T @ qp.G + reg * eye
-        L = jnp.linalg.cholesky(H)
-        p = -jax.scipy.linalg.cho_solve((L, True), grad)
+        L = chol_factor(H)
+        p = -chol_apply(L, grad)
 
         # exact line search: phi(alpha) = objective(w + alpha p) is convex
         # piecewise quadratic, so phi'(alpha) is nondecreasing piecewise
