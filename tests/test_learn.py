@@ -1,0 +1,114 @@
+"""Learning-layer tests: policy parity vs torch, observation, PCE math."""
+import io
+import os
+import zipfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tum_control_tpu.learn.observation import ObservationConfig, make_observation
+from tum_control_tpu.learn.policy import load_sb3_policy
+from tum_control_tpu.track.planner import RefWindow
+
+WMPC_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "wmpc_models", "new_BO_F"
+)
+SB3_ZIP = (
+    "/root/reference/Learning_To_Adapt/SafeRL_WMPC/_models/new_BO_F/best_model/best_model.zip"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(WMPC_DIR), reason="converted model missing")
+def test_policy_forward_matches_torch():
+    """Our JAX MLP must reproduce the original torch policy's logits."""
+    torch = pytest.importorskip("torch")
+    if not os.path.exists(SB3_ZIP):
+        pytest.skip("reference checkpoint unavailable")
+    with zipfile.ZipFile(SB3_ZIP) as z:
+        with z.open("policy.pth") as fh:
+            sd = torch.load(io.BytesIO(fh.read()), map_location="cpu", weights_only=False)
+
+    policy = load_sb3_policy(os.path.join(WMPC_DIR, "policy_weights.npz"))
+    rng = np.random.default_rng(0)
+    obs = rng.uniform(0, 1, size=(5, 22)).astype(np.float32)
+
+    # torch-side forward (tanh MLP trunk + linear action head)
+    x = torch.tensor(obs)
+    for i in (0, 2, 4):
+        w = sd[f"mlp_extractor.policy_net.{i}.weight"]
+        b = sd[f"mlp_extractor.policy_net.{i}.bias"]
+        x = torch.tanh(x @ w.T + b)
+    logits_t = (x @ sd["action_net.weight"].T + sd["action_net.bias"]).numpy()
+
+    logits_j = np.asarray(policy.logits(jnp.asarray(obs)))
+    np.testing.assert_allclose(logits_j, logits_t, rtol=1e-4, atol=1e-5)
+    assert np.array_equal(np.argmax(logits_j, 1), np.argmax(logits_t, 1))
+
+
+def test_observation_shapes_and_bounds():
+    n = 39
+    yaw = np.linspace(0.2, 1.4, n) % (2 * np.pi)
+    win = RefWindow(
+        pos=jnp.asarray(np.stack([np.linspace(0, 50, n), np.zeros(n)], 1)),
+        yaw=jnp.asarray(yaw),
+        v=jnp.asarray(np.full(n, 20.0)),
+    )
+    cfg = ObservationConfig(Ts=0.02)
+    obs = np.asarray(make_observation(cfg, 0.5, -1.0, win))
+    assert obs.shape == (22,)
+    # lat_dev 0.5 in [-3,3] -> (0.5+3)/6
+    assert obs[0] == pytest.approx((0.5 + 3) / 6)
+    assert obs[1] == pytest.approx((-1.0 + 5) / 10)
+    # velocities 20 m/s normalized over [0, 39]
+    np.testing.assert_allclose(obs[2:12], 20 / 39, rtol=1e-6)
+
+
+def test_pce_regression_matrix_properties():
+    from tum_control_tpu.controllers import pce
+
+    n_samples, n_vars, degree = 10, 3, 2
+    alphas = pce.alpha_indices(n_vars, degree)
+    L = pce.n_poly_terms(n_vars, degree)
+    assert alphas.shape == (L, n_vars)
+    assert L == 10
+    # total degree ascending, constant term first
+    assert alphas[0].sum() == 0
+    assert np.all(np.diff(alphas.sum(1)) >= 0)
+
+    w, A = pce.regression_matrix(n_samples, n_vars, degree)
+    assert w.shape == (n_vars, n_samples)
+    assert A.shape == (L, n_samples)
+    # A is the pseudo-inverse of the basis matrix: A @ Phi = I
+    Phi = pce.pce_basis(w, alphas)
+    np.testing.assert_allclose(A @ Phi, np.eye(L), atol=1e-8)
+    # constant function -> mean weights sum to 1, higher coeffs 0
+    coeff = A @ np.ones(n_samples)
+    np.testing.assert_allclose(coeff[0], 1.0, atol=1e-8)
+    np.testing.assert_allclose(coeff[1:], 0.0, atol=1e-8)
+
+
+def test_hermite_orthonormality():
+    from tum_control_tpu.controllers import pce
+
+    # Gauss-Hermite check: E[He_m He_n] = delta_mn under N(0,1)
+    x, wq = np.polynomial.hermite_e.hermegauss(40)
+    wq = wq / wq.sum()
+    for m in range(4):
+        for n in range(4):
+            val = np.sum(wq * pce.hermite_norm(x, m) * pce.hermite_norm(x, n))
+            np.testing.assert_allclose(val, 1.0 if m == n else 0.0, atol=1e-10)
+
+
+def test_fan_initial_state():
+    from tum_control_tpu.controllers import pce
+
+    stds = np.array([0, 0, 0, 0.8, 0.35, 0.035, 0, 0])
+    w, _ = pce.regression_matrix(10, 3, 2)
+    x0 = jnp.arange(8.0)
+    fan = np.asarray(pce.fan_initial_state(x0, w, stds))
+    assert fan.shape == (11, 8)
+    np.testing.assert_allclose(fan[0], np.arange(8.0))
+    # only the active indices are perturbed
+    np.testing.assert_allclose(fan[:, [0, 1, 2, 6, 7]], np.tile([0, 1, 2, 6, 7], (11, 1)))
+    assert np.abs(fan[1:, 3] - 3.0).max() > 0

@@ -114,7 +114,8 @@ class MPCConfig:
     WMPC_model: str = ""
     weights_update_period: int = 20
     # solver
-    qp_iters: int = 25             # interior-point iterations per RTI QP solve
+    qp_iters: int = 15             # interior-point iterations per RTI QP solve
+    # (dual warm-starting across RTI steps makes 15 equivalent to a cold 30)
 
     def Q(self) -> np.ndarray:
         return np.diag(

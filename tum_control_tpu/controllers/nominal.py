@@ -82,6 +82,27 @@ class NominalNMPC:
         def y_term(x):
             return jnp.stack([x[0], x[1], wrap_2pi(x[2]), x[3]])
 
+        # EXTERNAL cost variant (NMPC_STM_acados_settings_dev_lonlat.py:71-96):
+        # residual on ego-frame lon/lat deviations instead of raw x/y, with
+        # Levenberg-Marquardt damping (ibid.:262-278, lm = 0.1)
+        def resid_lonlat(k, x, u, yr):
+            yaw = wrap_2pi(x[2])
+            c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+            dx, dy = yr[0] - x[0], yr[1] - x[1]
+            dev_long = c * dx - s * dy
+            dev_lat = s * dx + c * dy
+            return jnp.concatenate(
+                [jnp.stack([dev_long, dev_lat, yaw - yr[2], x[3] - yr[3]]), u]
+            )
+
+        def resid_lonlat_term(x, yr):
+            yaw = wrap_2pi(x[2])
+            c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+            dx, dy = yr[0] - x[0], yr[1] - x[1]
+            return jnp.stack([c * dx - s * dy, s * dx + c * dy, yaw - yr[2], x[3] - yr[3]])
+
+        external = mpc_cfg.costfunction_type.upper() == "EXTERNAL"
+
         def con_stage(k, x):
             h = acc_constraints(x[3], x[7], x[3] * x[5], gg, vp.acc_min, shape)
             return jnp.concatenate([h, x[6:7]])  # [h rows..., delta_f]
@@ -111,8 +132,16 @@ class NominalNMPC:
         u_z1[0, :] = 0.0
         u_z2[0, :] = HARD_Z2
 
+        funcs = OCPFunctions(
+            dyn_step,
+            y_stage,
+            y_term,
+            con_stage,
+            resid_stage=resid_lonlat if external else None,
+            resid_term=resid_lonlat_term if external else None,
+        )
         self.engine = RTIEngine(
-            funcs=OCPFunctions(dyn_step, y_stage, y_term, con_stage),
+            funcs=funcs,
             N=N,
             nx=self.nx,
             nu=self.nu,
@@ -127,6 +156,7 @@ class NominalNMPC:
             u_z1=jnp.asarray(u_z1),
             u_z2=jnp.asarray(u_z2),
             newton_iters=mpc_cfg.qp_iters,
+            lm_reg=0.1 if external else 0.0,
         )
 
     # ------------------------------------------------------------------

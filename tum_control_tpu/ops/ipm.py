@@ -24,6 +24,8 @@ Static shapes throughout — vmappable to thousands of QPs per TPU program.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -34,14 +36,39 @@ BIG_THRESH = 1e10  # row sides with |bound| above this are treated as absent
 HARD_THRESH = 1e6  # z2 at or above this marks a hard row
 
 
+class IPMWarm(NamedTuple):
+    """Dual/slack warm-start carried across RTI steps (same constraint
+    pattern every solve, slowly-varying active set). Safeguarded on reuse:
+    duals clipped into [WARM_MIN, WARM_MAX], primal side distances recomputed
+    at the new linearization point with a positivity floor."""
+
+    su: jnp.ndarray
+    sl: jnp.ndarray
+    lam_u: jnp.ndarray
+    lam_l: jnp.ndarray
+    mu_u: jnp.ndarray
+    mu_l: jnp.ndarray
+
+
+WARM_MIN = 1e-3
+WARM_MAX = 1e5
+
+
+def init_warm(nc: int, dtype=jnp.float32) -> IPMWarm:
+    ones = jnp.ones(nc, dtype=dtype)
+    return IPMWarm(su=ones, sl=ones, lam_u=ones, lam_l=ones, mu_u=ones, mu_l=ones)
+
+
 def solve_soft_qp_ipm(
     qp: CondensedQP,
     n_iters: int = 30,
     n_polish: int = 2,
     gamma_ftb: float = 0.99,
     sigma: float = 0.2,
+    warm: IPMWarm = None,
 ):
-    """Solve the soft QP. Returns (w, kkt_res)."""
+    """Solve the soft QP. Returns (w, kkt_res) — or (w, kkt_res, warm_out)
+    when a warm start is supplied."""
     H0, g0, G, c0, lb, ub, z1, z2 = qp
     nz = H0.shape[0]
     nc = c0.shape[0]
@@ -56,14 +83,25 @@ def solve_soft_qp_ipm(
     ones = jnp.ones(nc, dtype=dtype)
 
     v0 = c0  # at w = 0
-    su = jnp.where(s_u, ones, 0.0)
-    sl = jnp.where(s_l, ones, 0.0)
-    pu = jnp.where(act_u, jnp.maximum(ub + su - v0, 1.0), 1.0)
-    pl = jnp.where(act_l, jnp.maximum(v0 + sl - lb, 1.0), 1.0)
-    lam_u = jnp.where(act_u, ones, 0.0)
-    lam_l = jnp.where(act_l, ones, 0.0)
-    mu_u = jnp.where(s_u, ones, 0.0)
-    mu_l = jnp.where(s_l, ones, 0.0)
+    if warm is None:
+        su = jnp.where(s_u, ones, 0.0)
+        sl = jnp.where(s_l, ones, 0.0)
+        pu = jnp.where(act_u, jnp.maximum(ub + su - v0, 1.0), 1.0)
+        pl = jnp.where(act_l, jnp.maximum(v0 + sl - lb, 1.0), 1.0)
+        lam_u = jnp.where(act_u, ones, 0.0)
+        lam_l = jnp.where(act_l, ones, 0.0)
+        mu_u = jnp.where(s_u, ones, 0.0)
+        mu_l = jnp.where(s_l, ones, 0.0)
+    else:
+        clipw = lambda x: jnp.clip(x, WARM_MIN, WARM_MAX)
+        su = jnp.where(s_u, clipw(warm.su), 0.0)
+        sl = jnp.where(s_l, clipw(warm.sl), 0.0)
+        pu = jnp.where(act_u, jnp.maximum(ub + su - v0, WARM_MIN), 1.0)
+        pl = jnp.where(act_l, jnp.maximum(v0 + sl - lb, WARM_MIN), 1.0)
+        lam_u = jnp.where(act_u, clipw(warm.lam_u), 0.0)
+        lam_l = jnp.where(act_l, clipw(warm.lam_l), 0.0)
+        mu_u = jnp.where(s_u, clipw(warm.mu_u), 0.0)
+        mu_l = jnp.where(s_l, clipw(warm.mu_l), 0.0)
     w = jnp.zeros(nz, dtype=dtype)
 
     nt = jnp.maximum(
@@ -175,4 +213,10 @@ def solve_soft_qp_ipm(
 
     # exact finish: a few semismooth-Newton steps from the IPM point
     w, kkt = newton_polish(qp, w, n_iters=n_polish)
-    return w, kkt
+    if warm is None:
+        return w, kkt
+    warm_out = IPMWarm(
+        su=carry[1], sl=carry[2], lam_u=carry[5], lam_l=carry[6],
+        mu_u=carry[7], mu_l=carry[8],
+    )
+    return w, kkt, warm_out

@@ -28,7 +28,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tum_control_tpu.ops.ipm import solve_soft_qp_ipm
+from tum_control_tpu.ops.ipm import IPMWarm, init_warm, solve_soft_qp_ipm
 from tum_control_tpu.ops.soft_qp import CondensedQP
 
 BIG = 1e12  # stands in for +/- inf bounds (inf would produce inf*0 NaNs)
@@ -47,13 +47,20 @@ class OCPFunctions(NamedTuple):
     y_stage: Callable
     y_term: Callable
     con_stage: Callable
+    # optional reference-dependent residuals (EXTERNAL-cost variants where
+    # the residual is not y(x,u) - yref, e.g. ego-frame lon/lat deviations):
+    resid_stage: Callable = None   # (k, x, u, yref_k) -> (ny,)
+    resid_term: Callable = None    # (x, yref_e) -> (ny_e,)
 
 
 class RTIState(NamedTuple):
-    """Warm-start memory carried between RTI calls (acados solver memory)."""
+    """Warm-start memory carried between RTI calls (acados solver memory):
+    the primal trajectory iterate plus the QP solver's dual/slack warm start
+    (the role of HPIPM's persistent QP memory)."""
 
     X: jnp.ndarray  # (N+1, nx) primal state trajectory
     U: jnp.ndarray  # (N, nu) primal control trajectory
+    warm: IPMWarm   # interior-point dual/slack warm start
 
 
 class QPMods(NamedTuple):
@@ -110,7 +117,9 @@ class RTIEngine:
         u_z1: jnp.ndarray,    # (N, nu)
         u_z2: jnp.ndarray,    # (N, nu)
         newton_iters: int = 15,
+        lm_reg: float = 0.0,
     ):
+        self.lm_reg = lm_reg
         self.funcs = funcs
         self.N, self.nx, self.nu = N, nx, nu
         self.nz = N * nu
@@ -120,6 +129,7 @@ class RTIEngine:
         self.u_lb, self.u_ub = u_lb, u_ub
         self.u_z1, self.u_z2 = u_z1, u_z2
         self.newton_iters = newton_iters
+        self.nc_total = (N + 1) * con_lb.shape[1] + N * nu
         # E_k = d(vec dU)/d(du_k): (N, nu, nz) selector, built once
         self.E = jnp.eye(self.nz).reshape(N, nu, self.nz)
 
@@ -128,7 +138,7 @@ class RTIEngine:
         """acados-style cold start: all states at x0, controls at zero."""
         X = jnp.tile(x0[None, :], (self.N + 1, 1))
         U = jnp.zeros((self.N, self.nu), dtype=x0.dtype)
-        return RTIState(X=X, U=U)
+        return RTIState(X=X, U=U, warm=init_warm(self.nc_total, dtype=x0.dtype))
 
     # ------------------------------------------------------------------
     def _linearize(self, state: RTIState):
@@ -238,10 +248,15 @@ class RTIEngine:
         """acados `get_cost()` analog: LS cost + slack penalties at the iterate."""
         N, nx = self.N, self.nx
         ks = jnp.arange(N)
-        Y = jax.vmap(self.funcs.y_stage)(ks, state.X[:-1], state.U)
-        r = Y - yref
+        if self.funcs.resid_stage is not None:
+            r = jax.vmap(self.funcs.resid_stage)(ks, state.X[:-1], state.U, yref)
+        else:
+            r = jax.vmap(self.funcs.y_stage)(ks, state.X[:-1], state.U) - yref
         cost = 0.5 * jnp.sum(r * r * W[None, :])
-        re = self.funcs.y_term(state.X[N]) - yref_e
+        if self.funcs.resid_term is not None:
+            re = self.funcs.resid_term(state.X[N], yref_e)
+        else:
+            re = self.funcs.y_term(state.X[N]) - yref_e
         cost += 0.5 * jnp.sum(re * re * We)
 
         C = jax.vmap(self.funcs.con_stage)(jnp.arange(N + 1), state.X)
@@ -269,7 +284,9 @@ class RTIEngine:
         to re-initialize, mirroring main.py:59-61.
         """
         qp, e, Gam, A_lin = self._build_qp(state, x0, yref, yref_e, mods, want_A=True)
-        w, kkt = solve_soft_qp_ipm(qp, n_iters=self.newton_iters, n_polish=2)
+        w, kkt, warm_out = solve_soft_qp_ipm(
+            qp, n_iters=self.newton_iters, n_polish=2, warm=state.warm
+        )
 
         dX = e + jnp.einsum("kxz,z->kx", Gam, w)
         X_new = state.X + dX
@@ -288,7 +305,8 @@ class RTIEngine:
         )
         X_new = jnp.where(bad, state.X, X_new)
         U_new = jnp.where(bad, state.U, U_new)
-        new_state = RTIState(X=X_new, U=U_new)
+        warm_new = jax.tree.map(lambda n, o: jnp.where(bad, o, n), warm_out, state.warm)
+        new_state = RTIState(X=X_new, U=U_new, warm=warm_new)
 
         stats = SolverStats(
             cost=self.nonlinear_cost(new_state, yref, yref_e, mods),
