@@ -46,6 +46,12 @@ class MLPPolicy(NamedTuple):
         """Deterministic discrete action (argmax over logits)."""
         return jnp.argmax(self.logits(obs), axis=-1)
 
+    def action_probabilities(self, obs):
+        """Softmax action distribution (helpers.get_action_probabilities)."""
+        import jax
+
+        return jax.nn.softmax(self.logits(obs), axis=-1)
+
 
 def load_sb3_policy(npz_path: str) -> MLPPolicy:
     """Load a converted SB3 checkpoint (torch tensors are (out,in) — transpose)."""
