@@ -1,0 +1,85 @@
+"""RTI engine validation: condensing consistency + SQP fixed-point optimality."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tum_control_tpu.api import build_controller
+from tum_control_tpu.config import MPCConfig, SimConfig
+from tum_control_tpu.models.integrators import rk4_multistep
+from tum_control_tpu.models.vehicle_stm import pred_ode
+from tum_control_tpu.track.planner import RefWindow
+
+
+def _small_setup(N=8):
+    sim_cfg = SimConfig(Tp=N * 0.08)
+    ctrl = build_controller(MPCConfig(qp_iters=40), sim_cfg)
+    x0 = jnp.array([0.0, 0.0, 0.0, 20.0, 0.0, 0.0, 0.0, 0.0])
+    # straight-line reference, mildly infeasible speed target
+    n = N + 1
+    t = np.arange(n) * 0.08
+    window = RefWindow(
+        pos=jnp.asarray(np.stack([20.0 * t + 1.0, 0.3 * np.ones(n)], 1)),
+        yaw=jnp.asarray(np.zeros(n)),
+        v=jnp.asarray(np.full(n, 24.0)),
+    )
+    return ctrl, x0, window
+
+
+def test_linear_update_consistent_with_dynamics():
+    """The QP step satisfies the linearized dynamics: after one RTI from a
+    *converged-dynamics* iterate, defects stay small."""
+    ctrl, x0, window = _small_setup()
+    st = ctrl.init_state(x0)
+    solve_j = jax.jit(lambda s: ctrl.solve(s, x0, window)[1])
+    for _ in range(12):
+        st = solve_j(st)
+    X, U = np.asarray(st.X), np.asarray(st.U)
+    f = lambda x, u: rk4_multistep(
+        lambda a, b: pred_ode(a, b, ctrl.vp, ctrl.tp), x, u, ctrl.dt, 3
+    )
+    defects = np.stack(
+        [np.asarray(f(jnp.asarray(X[k]), jnp.asarray(U[k]))) - X[k + 1] for k in range(ctrl.N)]
+    )
+    assert np.abs(defects).max() < 1e-6
+
+
+def test_sqp_fixed_point_is_nlp_minimum():
+    """Iterated RTI at a frozen (x0, ref) converges; at the fixed point the
+    exact-penalty NLP objective is stationary w.r.t. all controls (FD check)."""
+    ctrl, x0, window = _small_setup()
+    eng = ctrl.engine
+    yref, yref_e = ctrl.make_yref(window)
+    st = ctrl.init_state(x0)
+    solve_j = jax.jit(lambda s: eng.solve(s, x0, yref, yref_e)[1])
+    for _ in range(25):
+        st = solve_j(st)
+
+    def total_cost(Uflat):
+        U = Uflat.reshape(ctrl.N, 2)
+        X = [x0]
+        for k in range(ctrl.N):
+            X.append(eng.funcs.dyn_step(k, X[-1], U[k]))
+        X = jnp.stack(X)
+        from tum_control_tpu.ops.rti import RTIState
+
+        return eng.nonlinear_cost(RTIState(X=X, U=U, warm=st.warm), yref, yref_e)
+
+    Uf = jnp.asarray(st.U.reshape(-1))
+    g = np.asarray(jax.grad(total_cost)(Uf))
+    base = float(total_cost(Uf))
+    # relative stationarity: gradient tiny vs objective curvature scale
+    assert np.abs(g).max() < 1e-4 * max(1.0, base), (np.abs(g).max(), base)
+
+
+def test_warm_start_reaches_same_fixed_point_as_cold():
+    ctrl, x0, window = _small_setup()
+    solve_j = jax.jit(lambda s: ctrl.solve(s, x0, window)[1])
+    st_a = ctrl.init_state(x0)
+    for _ in range(25):
+        st_a = solve_j(st_a)
+    # perturbed init: different path, same fixed point
+    st_b = ctrl.init_state(x0 + jnp.array([0.5, -0.2, 0, 1.0, 0, 0, 0, 0]))
+    for _ in range(25):
+        st_b = solve_j(st_b)
+    np.testing.assert_allclose(np.asarray(st_a.U), np.asarray(st_b.U), atol=2e-5)

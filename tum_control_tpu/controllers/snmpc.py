@@ -98,6 +98,56 @@ class StochasticNMPC:
             nom_next = jnp.where(frozen, nxt[0], mean_next)
             return jnp.concatenate([nom_next[None], samples_next], axis=0).reshape(-1)
 
+        def dyn_jac(k, x, u):
+            """Structure-exploiting stacked-state linearization.
+
+            The stacked sensitivity A_k is block sparse: each sample's block
+            depends only on itself, and the nominal row mixes the samples'
+            blocks through the PCE mean weights (pred_model_dynamic_disc.py:
+            212-220). Building it from per-copy 8x(8+2) jacobians is ~9x
+            cheaper than differentiating the whole 88-state step.
+            """
+            xs = x.reshape(ns1, 8)
+
+            def stepj(x8):
+                fxu = lambda xu: rk4(xu[:8], xu[8:])
+                xu = jnp.concatenate([x8, u])
+                return fxu(xu), jax.jacfwd(fxu)(xu)
+
+            F_all, J_all = jax.vmap(stepj)(xs)        # (ns1,8), (ns1,8,10)
+            A_blk, B_blk = J_all[:, :, :8], J_all[:, :, 8:]
+            frozen = stop[k] == 1.0
+            eye8 = jnp.eye(8, dtype=x.dtype)
+
+            # next states (same semantics as dyn_step)
+            mean_next = A0 @ F_all[1:].reshape(self.n_samples, 8)
+            nom_next = jnp.where(frozen, F_all[0], mean_next)
+            samples_next = jnp.where(frozen, xs[1:], F_all[1:])
+            F = jnp.concatenate([nom_next[None], samples_next]).reshape(-1)
+
+            # block-diagonal part
+            A_eff = jnp.concatenate(
+                [
+                    jnp.where(frozen, A_blk[0], jnp.zeros_like(eye8))[None],
+                    jnp.where(frozen, eye8[None], A_blk[1:]),
+                ]
+            )                                          # (ns1, 8, 8)
+            diag_sel = jnp.eye(ns1, dtype=x.dtype)[:, None, :, None]
+            A4 = diag_sel * A_eff[:, :, None, :]       # (ns1, 8, ns1, 8)
+            # nominal row couples to the samples below the UPH
+            coupling = jnp.where(
+                frozen, 0.0, A0[:, None, None] * A_blk[1:]
+            )                                          # (ns, 8, 8)
+            A4 = A4.at[0, :, 1:, :].set(jnp.transpose(coupling, (1, 0, 2)))
+            A = A4.reshape(self.nx, self.nx)
+
+            B_nom = jnp.where(
+                frozen, B_blk[0], jnp.einsum("s,sij->ij", A0, B_blk[1:])
+            )
+            B_smp = jnp.where(frozen, jnp.zeros_like(B_blk[1:]), B_blk[1:])
+            B = jnp.concatenate([B_nom[None], B_smp]).reshape(self.nx, self.nu)
+            return F, A, B
+
         def y_stage(k, x, u):
             vel_abs = jnp.sqrt(x[3] ** 2 + x[4] ** 2)
             return jnp.concatenate(
@@ -143,7 +193,7 @@ class StochasticNMPC:
         u_z2[0, :] = HARD_Z2
 
         self.engine = RTIEngine(
-            funcs=OCPFunctions(dyn_step, y_stage, y_term, con_stage),
+            funcs=OCPFunctions(dyn_step, y_stage, y_term, con_stage, dyn_jac=dyn_jac),
             N=N,
             nx=self.nx,
             nu=self.nu,

@@ -51,6 +51,9 @@ class OCPFunctions(NamedTuple):
     # the residual is not y(x,u) - yref, e.g. ego-frame lon/lat deviations):
     resid_stage: Callable = None   # (k, x, u, yref_k) -> (ny,)
     resid_term: Callable = None    # (x, yref_e) -> (ny_e,)
+    # optional structure-exploiting dynamics linearization (e.g. SNMPC's
+    # block-sparse stacked-sample sensitivities); default: jacfwd of dyn_step
+    dyn_jac: Callable = None       # (k, x, u) -> (F (nx,), A (nx,nx), B (nx,nu))
 
 
 class RTIState(NamedTuple):
@@ -144,6 +147,10 @@ class RTIEngine:
     def _linearize(self, state: RTIState):
         N, nx, nu = self.N, self.nx, self.nu
         ks = jnp.arange(N)
+
+        if self.funcs.dyn_jac is not None:
+            F, A, B = jax.vmap(self.funcs.dyn_jac)(ks, state.X[:-1], state.U)
+            return A, B, F - state.X[1:]
 
         def step_xu(k, xu):
             return self.funcs.dyn_step(k, xu[:nx], xu[nx:])
