@@ -36,6 +36,7 @@ class PPOConfig(NamedTuple):
     max_grad_norm: float = 0.5
     lr_init: float = 0.005
     lr_final: float = 0.0001
+    lr_decay: float = 0.4          # adaptive_lr_decay (reference helpers.py:88-98)
     total_steps: int = 1_500_000
 
 
@@ -49,12 +50,18 @@ class Transition(NamedTuple):
 
 
 def lr_schedule(cfg: PPOConfig):
+    """Reference schedule: lr = init * (final/init)^(progress * k)
+    (helpers.learning_rate_schedule, k = adaptive_lr_decay)."""
     n_updates = max(cfg.total_steps // (cfg.n_envs * cfg.n_steps), 1)
-    return optax.exponential_decay(
-        cfg.lr_init,
-        transition_steps=n_updates * cfg.n_epochs * max(cfg.n_envs * cfg.n_steps // cfg.batch_size, 1),
-        decay_rate=cfg.lr_final / cfg.lr_init,
+    total_opt_steps = n_updates * cfg.n_epochs * max(
+        cfg.n_envs * cfg.n_steps // cfg.batch_size, 1
     )
+
+    def fn(count):
+        progress = jnp.clip(count / total_opt_steps, 0.0, 1.0)
+        return cfg.lr_init * (cfg.lr_final / cfg.lr_init) ** (progress * cfg.lr_decay)
+
+    return fn
 
 
 class PPOTrainer:
