@@ -56,12 +56,13 @@ def main():
 
     max_steps = 120 if args.smoke else 1500
     evaluator = ObjectiveEvaluator(sim, stacked, max_steps=max_steps)
-    evaluate = jax.jit(evaluator.evaluate)
 
     evaluators = []
     for g in groups:
         seg = make_segment_batch(g, tracks)
-        evaluators.append(lambda p, seg=seg: evaluate(jax.numpy.asarray(p), seg))
+        evaluators.append(
+            lambda p, seg=seg: evaluator.evaluate(jax.numpy.asarray(p), seg)
+        )
 
     cfg = BOConfig(
         n_initial=4 if args.smoke else args.initial,
@@ -74,13 +75,20 @@ def main():
         bo.load_trials(args.resume)
     else:
         bo.generate_initial_data()
-        print(f"initial data: {len(bo.trials)} trials, "
-              f"feasible {sum(t.feasible for t in bo.trials)}")
+        import numpy as np
+        n_feas = sum(bool(np.asarray(t.feasible).any()) for t in bo.trials)
+        print(f"initial data: {len(bo.trials)} trials, any-group feasible {n_feas}")
 
+    import numpy as np
     for it in range(cfg.n_bayesian_optimization):
         bo.step(it)
         hv = [bo.hypervolume(g) for g in range(2)]
-        print(f"iter {it}: trials={len(bo.trials)} hypervolume={hv}", flush=True)
+        nf = [
+            sum(bool(np.asarray(t.feasible).reshape(-1)[g]) for t in bo.trials)
+            for g in range(2)
+        ]
+        print(f"iter {it}: trials={len(bo.trials)} feasible/group={nf} "
+              f"hypervolume={hv}", flush=True)
         bo.store_trials(args.out)
 
     if args.export:

@@ -26,8 +26,9 @@ def main():
 
     bo = BayesianOptimizer(evaluators=[], cfg=BOConfig())
     bo.load_trials(args.trials_csv)
-    print(f"loaded {len(bo.trials)} trials "
-          f"({sum(t.feasible for t in bo.trials)} feasible)")
+    import numpy as np_
+    n_feas = sum(bool(np_.asarray(t.feasible).any()) for t in bo.trials)
+    print(f"loaded {len(bo.trials)} trials ({n_feas} any-group feasible)")
 
     table = export_parameter_sets(bo.trials, args.out, n_per_group=args.per_group)
     print(f"exported {len(table)} parameter sets to {args.out}")
@@ -40,7 +41,7 @@ def main():
 
         fig, axs = plt.subplots(1, 2, figsize=(11, 5))
         for g, ax in enumerate(axs):
-            Y_all = np.asarray([t.objectives[g] for t in bo.trials if t.feasible])
+            Y_all = np.asarray([t.objectives[g] for t in bo.trials if np.asarray(t.feasible).reshape(-1)[g]])
             _, Yp = extract_pareto(bo.trials, g)
             if len(Y_all):
                 ax.scatter(Y_all[:, 0], Y_all[:, 1], s=8, alpha=0.4, label="trials")

@@ -130,3 +130,14 @@ def optimize_acquisition(
     while len(chosen) < q:
         chosen.append(np.asarray(X[order[0]]))
     return np.stack(chosen)
+
+
+def make_feasibility_acquisition(feas_gp: GPData):
+    """Pure feasibility-seeking acquisition for an empty Pareto front:
+    probability-of-feasibility plus exploration bonus."""
+
+    def acq(X):
+        mu, sd = gp_posterior(feas_gp, X)
+        return jax.scipy.stats.norm.cdf(mu / (sd + 1e-9)) + 0.5 * sd
+
+    return acq

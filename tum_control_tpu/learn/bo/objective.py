@@ -71,12 +71,17 @@ class ObjectiveEvaluator:
         max_steps: int = 1500,
         max_lat_dev: float = 2.0,
         max_a_comb: float = 1.02,
+        chunk: int = 128,
     ):
         self.sim = sim
         self.stacked = stacked_traj
         self.max_steps = max_steps
         self.max_lat_dev = max_lat_dev
         self.max_a_comb = max_a_comb
+        # scenarios per device program: bounds the memory/size of one jit
+        # (very large single programs have crashed the TPU runtime)
+        self.chunk = chunk
+        self._run_chunk = jax.jit(jax.vmap(self._run_one))
         gg = sim.controller.gg
         acc_min = sim.controller.vp.acc_min
         self._gg, self._acc_min = gg, acc_min
@@ -157,16 +162,26 @@ class ObjectiveEvaluator:
         """
         # flatten (candidates x segments) into ONE vmap axis — a single batch
         # dimension keeps the Pallas linear-algebra kernels on their batched
-        # path (nested vmaps would have to map through the kernel call)
+        # path (nested vmaps would have to map through the kernel call) —
+        # and evaluate in fixed-size chunks so each device program stays
+        # bounded (pad the tail chunk).
         C = params.shape[0]
         S = seg.track.shape[0]
         p_flat = jnp.repeat(params, S, axis=0)
         tr = jnp.tile(seg.track, C)
         st = jnp.tile(seg.start, C)
         en = jnp.tile(seg.end, C)
-        f_flat, feas_flat = jax.vmap(self._run_one)(p_flat, tr, st, en)
-        f = f_flat.reshape(C, S, 2)
-        feas = feas_flat.reshape(C, S)
+        total = C * S
+        fs, feass = [], []
+        for lo in range(0, total, self.chunk):
+            hi = min(lo + self.chunk, total)
+            pad = self.chunk - (hi - lo)
+            sl = lambda a: jnp.concatenate([a[lo:hi], a[hi - 1 :hi].repeat(pad, axis=0)]) if pad else a[lo:hi]
+            f_c, feas_c = self._run_chunk(sl(p_flat), sl(tr), sl(st), sl(en))
+            fs.append(f_c[: hi - lo])
+            feass.append(feas_c[: hi - lo])
+        f = jnp.concatenate(fs).reshape(C, S, 2)
+        feas = jnp.concatenate(feass).reshape(C, S)
         feasible = jnp.all(feas, axis=1)
         objs = jnp.mean(f, axis=1)  # NaN propagates from crashed segments
         objs = jnp.where(feasible[:, None], objs, jnp.nan)

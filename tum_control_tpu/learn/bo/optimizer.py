@@ -22,6 +22,7 @@ from scipy.stats import qmc
 from tum_control_tpu.learn.bo.acquisition import (
     hypervolume_2d,
     make_acquisition,
+    make_feasibility_acquisition,
     optimize_acquisition,
     pareto_mask,
 )
@@ -44,7 +45,7 @@ class BOConfig:
 class Trial:
     params: np.ndarray       # (7,) in physical units
     objectives: np.ndarray   # (2, 2): per segment group
-    feasible: bool
+    feasible: np.ndarray     # (2,) bool per segment group
     group: int               # which group this trial was selected for
 
 
@@ -69,18 +70,19 @@ class BayesianOptimizer:
 
     def _evaluate(self, Xn: np.ndarray, group: int):
         params = self._denorm(Xn)
+        n_groups = len(self.evaluators)
         objs_all = np.full((len(params), 2, 2), np.nan)
-        feas_all = np.ones(len(params), dtype=bool)
+        feas_all = np.ones((len(params), max(n_groups, 2)), dtype=bool)
         for g, ev in enumerate(self.evaluators):
             objs, feas = ev(np.asarray(params))
             objs_all[:, g, :] = np.asarray(objs)
-            feas_all &= np.asarray(feas)
+            feas_all[:, g] = np.asarray(feas)
         for i in range(len(params)):
             self.trials.append(
                 Trial(
                     params=np.asarray(params[i]),
                     objectives=objs_all[i],
-                    feasible=bool(feas_all[i]),
+                    feasible=feas_all[i],
                     group=group,
                 )
             )
@@ -97,30 +99,33 @@ class BayesianOptimizer:
         X, Y, F = [], [], []
         for t in self.trials:
             X.append(self._norm(t.params))
-            F.append(1.0 if t.feasible else -1.0)
-            Y.append(t.objectives[group] if t.feasible else [np.nan, np.nan])
+            ok = bool(np.asarray(t.feasible)[group])
+            F.append(1.0 if ok else -1.0)
+            Y.append(t.objectives[group] if ok else [np.nan, np.nan])
         return np.asarray(X), np.asarray(Y), np.asarray(F)
 
     def step(self, iteration: int):
-        """One BO iteration on the alternating segment group."""
+        """One BO iteration on the alternating segment group.
+
+        Like the reference, the parameter space is *mostly infeasible*
+        (crash constraints); the feasibility surrogate fits on every trial.
+        With an empty feasible set the acquisition degrades gracefully to
+        pure feasibility seeking (mu + sigma of the classifier).
+        """
         group = iteration % len(self.evaluators)
         X, Y, F = self._train_data(group)
         feas = ~np.isnan(Y[:, 0])
-        if feas.sum() < 3:
-            # not enough feasible data: fall back to random sampling
-            self.key, k = jax.random.split(self.key)
-            self._evaluate(
-                np.asarray(jax.random.uniform(k, (self.cfg.batch_size, self.d))), group
-            )
-            return
-        gps = [fit_gp(X[feas], Y[feas, j]) for j in range(2)]
         feas_gp = fit_gp(X, F)
-        front = Y[feas][pareto_mask(Y[feas])]
-        ref = np.asarray(self.cfg.reference_points[group])
         self.key, k1, k2 = jax.random.split(self.key, 3)
-        acq = make_acquisition(
-            gps, feas_gp, front, ref, self.cfg.epsilon, k1, n_mc=self.cfg.n_mc
-        )
+        if feas.sum() < 1:
+            acq = make_feasibility_acquisition(feas_gp)
+        else:
+            gps = [fit_gp(X[feas], Y[feas, j]) for j in range(2)]
+            front = Y[feas][pareto_mask(Y[feas])]
+            ref = np.asarray(self.cfg.reference_points[group])
+            acq = make_acquisition(
+                gps, feas_gp, front, ref, self.cfg.epsilon, k1, n_mc=self.cfg.n_mc
+            )
         cand = optimize_acquisition(acq, self.d, self.cfg.batch_size, k2)
         self._evaluate(cand, group)
 
@@ -139,8 +144,10 @@ class BayesianOptimizer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as fh:
             for t in self.trials:
+                f = np.asarray(t.feasible).astype(int).reshape(-1)
                 row = list(t.params) + list(t.objectives.reshape(-1)) + [
-                    int(t.feasible),
+                    int(f[0]),
+                    int(f[-1]),
                     t.group,
                 ]
                 fh.write(",".join(str(v) for v in row) + "\n")
@@ -153,7 +160,7 @@ class BayesianOptimizer:
                     Trial(
                         params=np.asarray([float(v) for v in vals[:7]]),
                         objectives=np.asarray([float(v) for v in vals[7:11]]).reshape(2, 2),
-                        feasible=bool(int(vals[11])),
-                        group=int(vals[12]),
+                        feasible=np.asarray([bool(int(vals[11])), bool(int(vals[12]))]),
+                        group=int(vals[13]),
                     )
                 )

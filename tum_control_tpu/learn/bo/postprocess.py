@@ -17,8 +17,11 @@ from tum_control_tpu.learn.bo.acquisition import pareto_mask
 
 def extract_pareto(trials, group: int):
     """(params (k,7), objectives (k,2)) of the group's Pareto-optimal trials."""
-    X = np.asarray([t.params for t in trials if t.feasible])
-    Y = np.asarray([t.objectives[group] for t in trials if t.feasible])
+    import numpy as _np
+
+    ok = lambda t: bool(_np.asarray(t.feasible).reshape(-1)[group])
+    X = np.asarray([t.params for t in trials if ok(t)])
+    Y = np.asarray([t.objectives[group] for t in trials if ok(t)])
     if len(X) == 0:
         return X.reshape(0, 7), Y.reshape(0, 2)
     m = pareto_mask(Y)
