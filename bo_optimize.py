@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--out", default="Logs/bo_trials.csv")
     ap.add_argument("--export", default=None, help="export reduced Pareto sets to CSV")
     ap.add_argument("--resume", default=None, help="load trials CSV before optimizing")
+    ap.add_argument("--seed-params", default=None,
+                    help="CSV of known parameter sets to evaluate as initial trials "
+                         "(the reference's boundary-sampling warm start)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
@@ -74,12 +77,14 @@ def main():
     if args.resume and os.path.exists(args.resume):
         bo.load_trials(args.resume)
     else:
+        if args.seed_params:
+            seeds = np.loadtxt(args.seed_params, delimiter=",")
+            bo._evaluate(bo._norm(seeds), group=0)
+            print(f"seeded {len(seeds)} known parameter sets")
         bo.generate_initial_data()
-        import numpy as np
         n_feas = sum(bool(np.asarray(t.feasible).any()) for t in bo.trials)
         print(f"initial data: {len(bo.trials)} trials, any-group feasible {n_feas}")
 
-    import numpy as np
     for it in range(cfg.n_bayesian_optimization):
         bo.step(it)
         hv = [bo.hypervolume(g) for g in range(2)]

@@ -24,5 +24,19 @@ Architectural principles (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+# Persistent compilation cache: Mosaic/XLA compiles of the large closed-loop
+# programs are expensive (minutes through this environment's remote-compile
+# tunnel); cache them across processes.
+import os as _os
+
+import jax as _jax
+
+_cache_dir = _os.environ.get("TUMCTRL_JAX_CACHE", _os.path.expanduser("~/.jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # very old jax without the knobs: run uncached
+    pass
+
 from tum_control_tpu import config as config
 from tum_control_tpu.params import VehicleParams, TireParams

@@ -12,7 +12,6 @@ vf_coef 0.5, max_grad_norm 0.5, net [128, 256, 128]).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -20,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tum_control_tpu.learn.policy import MLPPolicy, init_mlp_policy
+from tum_control_tpu.learn.policy import init_mlp_policy
 
 
 class PPOConfig(NamedTuple):

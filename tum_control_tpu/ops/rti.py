@@ -292,7 +292,7 @@ class RTIEngine:
         """
         qp, e, Gam, A_lin = self._build_qp(state, x0, yref, yref_e, mods, want_A=True)
         w, kkt, warm_out = solve_soft_qp_ipm(
-            qp, n_iters=self.newton_iters, n_polish=0, warm=state.warm
+            qp, n_iters=self.newton_iters, n_polish=1, warm=state.warm
         )
 
         dX = e + jnp.einsum("kxz,z->kx", Gam, w)
