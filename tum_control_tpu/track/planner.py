@@ -7,8 +7,13 @@ Vectorized, jit-safe equivalent of the reference's PlannerEmulator
      replaces the scipy cdist call),
   2. walk indices forward, accumulating per-segment traversal time until the
      cumulative time exceeds the prediction horizon Tp (wrapping at the track
-     end for circuits) — done here as a cumsum over a static-size gathered
-     window + argmax instead of a data-dependent while loop,
+     end for circuits). The walk is gather-free: traversal times are prefix
+     sums `cum_time` precomputed on the trajectory, so "first K segments past
+     the nearest point whose summed time exceeds Tp" reduces to counting
+     prefix-sum entries below a per-scenario threshold — two masked
+     comparisons over the (static-length) prefix array instead of the
+     reference's data-dependent while loop (a 512-point dynamic gather +
+     cumsum per solve was 14% of the closed-loop step time on TPU),
   3. resample the extracted window to exactly `n_out` points by linear
      interpolation over fractional indices (np.interp equivalent). Yaw is
      interpolated circularly per segment, reproducing the reference's
@@ -54,12 +59,25 @@ def planner_emulator(traj: RefTrajectory, pose_xy, Tp: float, n_out: int) -> tup
     d2 = jnp.sum((traj.pos - pose_xy[None, :]) ** 2, axis=1)
     c = jnp.argmin(d2)
 
-    # time walk: cumulative traversal time of segments c+1, c+2, ... (mod M)
-    walk_idx = jnp.mod(c + 1 + jnp.arange(MAX_WINDOW), M)
-    cum = jnp.cumsum(traj.seg_time[walk_idx])
-    # number of appended points = first k (1-based) with cum > Tp
-    exceeded = cum > Tp
-    n_app = jnp.where(jnp.any(exceeded), jnp.argmax(exceeded) + 1, MAX_WINDOW)
+    # time walk over segments c+1, c+2, ... (mod M): the cumulative traversal
+    # time of the first K segments is
+    #     walkcum(K) = P[c+1+K] - P[c+1]                   (while c+1+K <= M)
+    #     walkcum(K) = P[M] - P[c+1] + P[K-(M-c-1)]        (after the wrap)
+    # with P = traj.cum_time (P[i] = sum of seg_time[:i], precomputed).
+    # n_app = first K with walkcum(K) > Tp = 1 + #{K >= 1 : walkcum(K) <= Tp},
+    # evaluated as two masked counts over the static prefix array — no
+    # dynamic gather, no per-solve cumsum. K is capped at MAX_WINDOW as
+    # before (assumes Tp < lap time, true of any sane horizon).
+    P = traj.cum_time
+    idx = jnp.arange(P.shape[0])
+    target = P[c + 1] + Tp
+    # unwrapped candidates: i = c+1+K in [c+2, M], K <= MAX_WINDOW-1
+    mask_u = (idx >= c + 2) & (idx <= M) & (idx <= c + MAX_WINDOW)
+    count_u = jnp.sum(mask_u & (P <= target))
+    # wrapped candidates: j = K-(M-c-1) in [1, ...], K <= MAX_WINDOW-1
+    mask_w = (idx >= 1) & (idx <= MAX_WINDOW - 1 + c + 1 - M)
+    count_w = jnp.sum(mask_w & (P <= target - P[M]))
+    n_app = 1 + count_u + count_w
     n_pts = n_app + 1  # including the closest point itself
 
     # resample to n_out points over fractional window indices [0, n_pts-1]

@@ -29,6 +29,7 @@ class RefTrajectory(NamedTuple):
     v: jnp.ndarray         # (M,)   ref_v
     acc: jnp.ndarray       # (M,)   ref_acc
     seg_time: jnp.ndarray  # (M,)   traversal time of segment ending at j
+    cum_time: jnp.ndarray  # (M+1,) prefix sums: cum_time[i] = sum(seg_time[:i])
     n_valid: jnp.ndarray   # ()     number of real points (<= M when padded)
 
     @property
@@ -57,12 +58,14 @@ def load_ref_trajectory(path: str, dtype=None) -> RefTrajectory:
     yaw = np.asarray(raw["ref_yaw"], dtype=np.float64)
     acc = np.asarray(raw.get("ref_acc", np.zeros_like(v)), dtype=np.float64)
     seg = np.linalg.norm(pos - np.roll(pos, 1, axis=0), axis=1) / v
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
     return RefTrajectory(
         pos=jnp.asarray(pos, dtype=dtype),
         yaw=jnp.asarray(yaw, dtype=dtype),
         v=jnp.asarray(v, dtype=dtype),
         acc=jnp.asarray(acc, dtype=dtype),
         seg_time=jnp.asarray(seg, dtype=dtype),
+        cum_time=jnp.asarray(cum, dtype=dtype),
         n_valid=jnp.asarray(pos.shape[0], dtype=jnp.int32),
     )
 
@@ -79,11 +82,11 @@ def stack_trajectories(trajs) -> RefTrajectory:
 
     M = max(int(t.n_valid) for t in trajs)
 
-    def pad(a, fill):
+    def pad(a, fill, target=M):
         m = a.shape[0]
-        if m == M:
+        if m == target:
             return a
-        pad_width = [(0, M - m)] + [(0, 0)] * (a.ndim - 1)
+        pad_width = [(0, target - m)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, pad_width, constant_values=fill)
 
     padded = [
@@ -93,6 +96,9 @@ def stack_trajectories(trajs) -> RefTrajectory:
             v=pad(t.v, 1.0),
             acc=pad(t.acc, 0.0),
             seg_time=pad(t.seg_time, 1e7),
+            # prefix sums beyond the real lap are only reached through masked
+            # comparisons in the planner walk; a huge fill keeps them inert
+            cum_time=pad(t.cum_time, 1e14, target=M + 1),
             n_valid=t.n_valid,
         )
         for t in trajs
