@@ -82,3 +82,34 @@ def test_soft_only_warm_rti_like():
     w_ref, _ = solve_soft_qp_ipm(qp, n_iters=80, n_polish=4)
     # 20 iters lands within RTI-grade accuracy of the fully converged point
     assert float(objective(qp, w_fast)) <= float(objective(qp, w_ref)) + 1e-3
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_identity_tail_rows_equivalent(seed):
+    """n_id > 0 (analytic identity rows) must match the same QP with the
+    identity block stored explicitly in G (the pre-split formulation)."""
+    rng = np.random.default_rng(seed)
+    nz, ncg = 10, 14
+    base = _random_qp(rng, nz=nz, nc=ncg, hard_rows=1)
+    # identity-tail row data (input-box analog: finite bounds, soft)
+    lb_u = -rng.uniform(0.2, 1.0, nz)
+    ub_u = rng.uniform(0.2, 1.0, nz)
+    z1_u = rng.uniform(10.0, 100.0, nz)
+    z2_u = rng.uniform(1.0, 10.0, nz)
+
+    split = CondensedQP(
+        H0=base.H0, g0=base.g0, G=base.G,
+        c0=jnp.concatenate([base.c0, jnp.zeros(nz)]),
+        lb=jnp.concatenate([base.lb, jnp.array(lb_u)]),
+        ub=jnp.concatenate([base.ub, jnp.array(ub_u)]),
+        z1=jnp.concatenate([base.z1, jnp.array(z1_u)]),
+        z2=jnp.concatenate([base.z2, jnp.array(z2_u)]),
+    )
+    full = split._replace(G=jnp.concatenate([base.G, jnp.eye(nz)], axis=0))
+
+    w_full, kkt_full = solve_soft_qp_ipm(full, n_iters=40, n_polish=2)
+    w_split, kkt_split = solve_soft_qp_ipm(split, n_iters=40, n_polish=2, n_id=nz)
+    np.testing.assert_allclose(np.array(w_split), np.array(w_full), atol=1e-7)
+    assert float(objective(split, w_split, n_id=nz)) == pytest.approx(
+        float(objective(full, w_full)), abs=1e-8
+    )

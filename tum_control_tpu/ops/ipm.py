@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 
 from tum_control_tpu.ops.pallas_kernels.chol import chol_apply, chol_factor
-from tum_control_tpu.ops.soft_qp import CondensedQP, newton_polish
+from tum_control_tpu.ops.soft_qp import (
+    CondensedQP,
+    con_mul,
+    con_normal,
+    con_tmul,
+    newton_polish,
+)
 
 BIG_THRESH = 1e10  # row sides with |bound| above this are treated as absent
 HARD_THRESH = 1e6  # z2 at or above this marks a hard row
@@ -66,9 +72,12 @@ def solve_soft_qp_ipm(
     gamma_ftb: float = 0.99,
     sigma: float = 0.2,
     warm: IPMWarm = None,
+    n_id: int = 0,
 ):
     """Solve the soft QP. Returns (w, kkt_res) — or (w, kkt_res, warm_out)
-    when a warm start is supplied."""
+    when a warm start is supplied. `n_id` > 0 marks the last n_id constraint
+    rows as identity rows over w (see CondensedQP) — they are handled
+    analytically, never stored or multiplied."""
     H0, g0, G, c0, lb, ub, z1, z2 = qp
     nz = H0.shape[0]
     nc = c0.shape[0]
@@ -110,7 +119,7 @@ def solve_soft_qp_ipm(
 
     def body(carry, _):
         w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l = carry
-        v = G @ w + c0
+        v = con_mul(qp, w, n_id) + c0
         # primal linkage residuals (zero once iterates become feasible)
         r_pu = jnp.where(act_u, v + pu - su - ub, 0.0)
         r_pl = jnp.where(act_l, pl - v - sl + lb, 0.0)
@@ -135,8 +144,8 @@ def solve_soft_qp_ipm(
         sig_u = jnp.where(act_u, lam_u / (pu * D_u), 0.0)
         sig_l = jnp.where(act_l, lam_l / (pl * D_l), 0.0)
 
-        r_w = H0 @ w + g0 + G.T @ (lam_u - lam_l)
-        H = H0 + (G * (sig_u + sig_l)[:, None]).T @ G + 1e-11 * eye
+        r_w = H0 @ w + g0 + con_tmul(qp, lam_u - lam_l, n_id)
+        H = H0 + con_normal(qp, sig_u + sig_l, n_id) + 1e-11 * eye
         L = chol_factor(H)
 
         def max_step(x, dx, mask):
@@ -153,8 +162,8 @@ def solve_soft_qp_ipm(
             chat_l = jnp.where(
                 act_l, (tau / pl - lam_l + lam_l * r_pl / pl - ipb_l * a_l) / D_l, 0.0
             )
-            dw = -chol_apply(L, r_w + G.T @ (chat_u - chat_l))
-            Gdw = G @ dw
+            dw = -chol_apply(L, r_w + con_tmul(qp, chat_u - chat_l, n_id))
+            Gdw = con_mul(qp, dw, n_id)
             dlam_u = jnp.where(act_u, chat_u + sig_u * Gdw, 0.0)
             dlam_l = jnp.where(act_l, chat_l - sig_l * Gdw, 0.0)
             dsu = jnp.where(s_u, (dlam_u + a_u) / b_u, 0.0)
@@ -212,7 +221,7 @@ def solve_soft_qp_ipm(
     w = carry[0]
 
     # exact finish: a few semismooth-Newton steps from the IPM point
-    w, kkt = newton_polish(qp, w, n_iters=n_polish)
+    w, kkt = newton_polish(qp, w, n_iters=n_polish, n_id=n_id)
     if warm is None:
         return w, kkt
     warm_out = IPMWarm(

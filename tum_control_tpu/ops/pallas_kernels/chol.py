@@ -84,6 +84,100 @@ def _solve_kernel(l_ref, b_ref, x_ref):
     jax.lax.fori_loop(0, n, bwd, 0)
 
 
+BS = 8  # block size (f32 sublane multiple) for the blocked kernels
+
+
+def _chol_kernel_blocked(a_ref, l_ref):
+    """Blocked right-looking Cholesky. Unrolled static block loops: per
+    8-column panel, 8 masked rank-1 updates restricted to the panel, then one
+    rank-8 update of only the *trailing* submatrix — ~5x fewer VPU
+    element-ops than the naive full-matrix rank-1 sweep (which wastes 2/3 of
+    its work on already-finished/upper entries). n must be a multiple of BS
+    (the wrapper pads with identity)."""
+    n = a_ref.shape[1]
+    l_ref[...] = a_ref[...]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+
+    for jb in range(0, n, BS):
+        nr = n - jb
+        rows_nr = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
+        # --- panel factorization (columns jb .. jb+BS-1, rows jb ..)
+        for jj in range(BS):
+            j = jb + jj
+            inv = jax.lax.rsqrt(l_ref[0, j, j, :])
+            col = l_ref[0, jb:, j, :] * inv[None, :]          # (nr, 128)
+            col = jnp.where(rows_nr >= jj, col, 0.0)
+            if jj < BS - 1:
+                # rank-1 update of the remaining panel columns
+                rowfac = col[jj + 1 : BS, :]                  # (BS-1-jj, 128)
+                l_ref[0, jb:, j + 1 : jb + BS, :] = (
+                    l_ref[0, jb:, j + 1 : jb + BS, :]
+                    - col[:, None, :] * rowfac[None, :, :]
+                )
+            l_ref[0, jb:, j, :] = col
+        # --- rank-8 trailing update (rows/cols >= jb+BS only)
+        if jb + BS < n:
+            upd = None
+            for t in range(BS):
+                cp = l_ref[0, jb + BS :, jb + t, :]           # (nt, 128)
+                term = cp[:, None, :] * cp[None, :, :]        # (nt, nt, 128)
+                upd = term if upd is None else upd + term
+            l_ref[0, jb + BS :, jb + BS :, :] = (
+                l_ref[0, jb + BS :, jb + BS :, :] - upd
+            )
+    # zero the strict upper triangle
+    l_ref[0] = jnp.where(rows >= cols, l_ref[0], 0.0)
+
+
+def _solve_kernel_blocked(l_ref, b_ref, x_ref):
+    """Blocked forward+backward substitution for L L^T x = b, (n, 128) rhs.
+    Within each 8-row block: masked scalar-row steps; between blocks: one
+    rank-8 update of only the remaining rows — ~2x fewer element-ops and
+    ~4x fewer sequential ref updates than the unblocked version."""
+    n = l_ref.shape[1]
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0)
+    x_ref[0] = b_ref[0]
+
+    # forward: L y = b
+    for jb in range(0, n, BS):
+        for jj in range(BS):
+            j = jb + jj
+            yj = x_ref[0, j, :] / l_ref[0, j, j, :]
+            sub = l_ref[0, jb : jb + BS, j, :]                # (BS, 128)
+            x_ref[0, jb : jb + BS, :] = (
+                x_ref[0, jb : jb + BS, :]
+                - jnp.where(rows8 > jj, sub, 0.0) * yj[None, :]
+            )
+            x_ref[0, j, :] = yj
+        if jb + BS < n:
+            acc = None
+            for t in range(BS):
+                yt = x_ref[0, jb + t : jb + t + 1, :]         # (1, 128)
+                term = l_ref[0, jb + BS :, jb + t, :] * yt
+                acc = term if acc is None else acc + term
+            x_ref[0, jb + BS :, :] = x_ref[0, jb + BS :, :] - acc
+
+    # backward: L^T x = y   (L^T[r, j] = L[j, r] -> row slices of L)
+    for jb in range(n - BS, -1, -BS):
+        for jj in range(BS - 1, -1, -1):
+            j = jb + jj
+            xj = x_ref[0, j, :] / l_ref[0, j, j, :]
+            row = l_ref[0, j, jb : jb + BS, :]                # (BS, 128)
+            x_ref[0, jb : jb + BS, :] = (
+                x_ref[0, jb : jb + BS, :]
+                - jnp.where(rows8 < jj, row, 0.0) * xj[None, :]
+            )
+            x_ref[0, j, :] = xj
+        if jb > 0:
+            acc = None
+            for t in range(BS):
+                xt = x_ref[0, jb + t : jb + t + 1, :]         # (1, 128)
+                term = l_ref[0, jb + t, :jb, :] * xt
+                acc = term if acc is None else acc + term
+            x_ref[0, :jb, :] = x_ref[0, :jb, :] - acc
+
+
 def _pad_batch(a, lanes=LANES):
     B = a.shape[0]
     Bp = -(-B // lanes) * lanes
@@ -94,31 +188,44 @@ def _pad_batch(a, lanes=LANES):
     return a, B, Bp
 
 
+def _pad_n_spd(H, np_):
+    """Pad (B, n, n) SPD matrices to (B, np_, np_) with an identity tail."""
+    n = H.shape[1]
+    if np_ == n:
+        return H
+    Hp = jnp.pad(H, ((0, 0), (0, np_ - n), (0, np_ - n)))
+    tail = jnp.arange(np_) >= n
+    return Hp + jnp.where(tail, 1.0, 0.0) * jnp.eye(np_, dtype=H.dtype)[None]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _cholesky_tpu(H):
     """(B, n, n) -> (B, n, n) lower Cholesky factors via the Pallas kernel."""
     Hp, B, Bp = _pad_batch(H)
     n = H.shape[1]
-    # pad the diagonal of the padded scenarios so rsqrt stays finite
+    np_ = -(-n // BS) * BS  # blocked kernel needs n % BS == 0
+    # identity-pad the extra rows/cols and the padded scenarios so rsqrt
+    # stays finite (their factor is the identity, sliced away below)
+    Hp = _pad_n_spd(Hp, np_)
     if Bp != B:
-        eye = jnp.eye(n, dtype=H.dtype)
+        eye = jnp.eye(np_, dtype=H.dtype)
         pad_ids = jnp.arange(Bp) >= B
         Hp = jnp.where(pad_ids[:, None, None], eye[None], Hp)
-    Ht = jnp.transpose(Hp.reshape(Bp // LANES, LANES, n, n), (0, 2, 3, 1))
+    Ht = jnp.transpose(Hp.reshape(Bp // LANES, LANES, np_, np_), (0, 2, 3, 1))
     grid = (Bp // LANES,)
     Lt = pl.pallas_call(
-        _chol_kernel,
+        _chol_kernel_blocked,
         out_shape=jax.ShapeDtypeStruct(Ht.shape, Ht.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, n, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, np_, np_, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, n, n, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, np_, np_, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
     )(Ht)
-    L = jnp.transpose(Lt, (0, 3, 1, 2)).reshape(Bp, n, n)
-    return L[:B]
+    L = jnp.transpose(Lt, (0, 3, 1, 2)).reshape(Bp, np_, np_)
+    return L[:B, :n, :n]
 
 
 def _solve_tpu(L, b):
@@ -126,25 +233,29 @@ def _solve_tpu(L, b):
     Lp, B, Bp = _pad_batch(L)
     bp, _, _ = _pad_batch(b)
     n = L.shape[1]
+    np_ = -(-n // BS) * BS
+    Lp = _pad_n_spd(Lp, np_)
+    if np_ != n:
+        bp = jnp.pad(bp, ((0, 0), (0, np_ - n)))
     if Bp != B:
-        eye = jnp.eye(n, dtype=L.dtype)
+        eye = jnp.eye(np_, dtype=L.dtype)
         pad_ids = jnp.arange(Bp) >= B
         Lp = jnp.where(pad_ids[:, None, None], eye[None], Lp)
-    Lt = jnp.transpose(Lp.reshape(Bp // LANES, LANES, n, n), (0, 2, 3, 1))
-    bt = jnp.transpose(bp.reshape(Bp // LANES, LANES, n), (0, 2, 1))
+    Lt = jnp.transpose(Lp.reshape(Bp // LANES, LANES, np_, np_), (0, 2, 3, 1))
+    bt = jnp.transpose(bp.reshape(Bp // LANES, LANES, np_), (0, 2, 1))
     grid = (Bp // LANES,)
     xt = pl.pallas_call(
-        _solve_kernel,
+        _solve_kernel_blocked,
         out_shape=jax.ShapeDtypeStruct(bt.shape, bt.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, n, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, np_, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, np_, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )(Lt, bt)
-    x = jnp.transpose(xt, (0, 2, 1)).reshape(Bp, n)
-    return x[:B]
+    x = jnp.transpose(xt, (0, 2, 1)).reshape(Bp, np_)
+    return x[:B, :n]
 
 
 def batched_cholesky(H):

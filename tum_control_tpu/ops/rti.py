@@ -237,7 +237,10 @@ class RTIEngine:
         c0_c = C + jnp.einsum("kij,kj->ki", Jc, e)
         G_c = jnp.einsum("kij,kjz->kiz", Jc, Gam)                  # (N+1, nc, nz)
 
-        G = jnp.concatenate([G_c.reshape(-1, nz), self.E.reshape(-1, nz)], axis=0)
+        # input-box rows have Jacobian E = I over w; they are handled
+        # analytically inside the QP solvers (n_id = nz) — only the general
+        # (state-constraint) rows are stored and multiplied.
+        G = G_c.reshape(-1, nz)
         c0 = jnp.concatenate([c0_c.reshape(-1), state.U.reshape(-1)], axis=0)
         lb = jnp.concatenate([con_lb.reshape(-1), u_lb.reshape(-1)])
         ub = jnp.concatenate([con_ub.reshape(-1), u_ub.reshape(-1)])
@@ -292,7 +295,7 @@ class RTIEngine:
         """
         qp, e, Gam, A_lin = self._build_qp(state, x0, yref, yref_e, mods, want_A=True)
         w, kkt, warm_out = solve_soft_qp_ipm(
-            qp, n_iters=self.newton_iters, n_polish=1, warm=state.warm
+            qp, n_iters=self.newton_iters, n_polish=1, warm=state.warm, n_id=self.nz
         )
 
         dX = e + jnp.einsum("kxz,z->kx", Gam, w)

@@ -38,14 +38,44 @@ from tum_control_tpu.ops.pallas_kernels.chol import chol_apply, chol_factor
 
 
 class CondensedQP(NamedTuple):
+    """Soft QP data. `G` holds only the *general* constraint rows; when
+    `n_id > 0` (passed separately to the solvers — it must stay a static
+    python int, not a pytree leaf), the constraint system is understood as
+    the general rows followed by `n_id = nz` identity rows over w (the
+    condensed input-box rows, whose Jacobian is exactly the identity).
+    c0/lb/ub/z1/z2 cover general rows first, identity rows last. Storing
+    and multiplying the identity block explicitly would double the IPM's
+    constraint matmul work for nothing."""
+
     H0: jnp.ndarray   # (nz, nz) positive-definite base Hessian
     g0: jnp.ndarray   # (nz,)
-    G: jnp.ndarray    # (nc, nz) constraint rows
-    c0: jnp.ndarray   # (nc,)    constraint values at w = 0
-    lb: jnp.ndarray   # (nc,)
-    ub: jnp.ndarray   # (nc,)
-    z1: jnp.ndarray   # (nc,) linear slack penalty
-    z2: jnp.ndarray   # (nc,) quadratic slack penalty
+    G: jnp.ndarray    # (nc_g, nz) general constraint rows
+    c0: jnp.ndarray   # (nc_g + n_id,) constraint values at w = 0
+    lb: jnp.ndarray   # (nc_g + n_id,)
+    ub: jnp.ndarray   # (nc_g + n_id,)
+    z1: jnp.ndarray   # (nc_g + n_id,) linear slack penalty
+    z2: jnp.ndarray   # (nc_g + n_id,) quadratic slack penalty
+
+
+def con_mul(qp: CondensedQP, w, n_id: int = 0):
+    """Full constraint-Jacobian product [G; I] w."""
+    Gw = qp.G @ w
+    return jnp.concatenate([Gw, w]) if n_id else Gw
+
+
+def con_tmul(qp: CondensedQP, y, n_id: int = 0):
+    """Transpose product [G; I]' y."""
+    ncg = qp.G.shape[0]
+    return qp.G.T @ y[:ncg] + y[ncg:] if n_id else qp.G.T @ y
+
+
+def con_normal(qp: CondensedQP, d, n_id: int = 0):
+    """[G; I]' diag(d) [G; I] without forming the identity block."""
+    ncg = qp.G.shape[0]
+    H = (qp.G * d[:ncg, None]).T @ qp.G
+    if n_id:
+        H = H + jnp.diag(d[ncg:])
+    return H
 
 
 def _penalty(qp: CondensedQP, v):
@@ -56,38 +86,38 @@ def _penalty(qp: CondensedQP, v):
     return jnp.sum(pu + plo)
 
 
-def objective(qp: CondensedQP, w):
-    return 0.5 * w @ (qp.H0 @ w) + qp.g0 @ w + _penalty(qp, qp.G @ w + qp.c0)
+def objective(qp: CondensedQP, w, n_id: int = 0):
+    return 0.5 * w @ (qp.H0 @ w) + qp.g0 @ w + _penalty(qp, con_mul(qp, w, n_id) + qp.c0)
 
 
-def solve_soft_qp(qp: CondensedQP, n_iters: int = 15, reg: float = 1e-9):
+def solve_soft_qp(qp: CondensedQP, n_iters: int = 15, reg: float = 1e-9, n_id: int = 0):
     """Semismooth-Newton solve from w = 0; returns (w*, kkt_residual_inf)."""
     w0 = jnp.zeros(qp.H0.shape[0], dtype=qp.H0.dtype)
-    return newton_polish(qp, w0, n_iters=n_iters, reg=reg)
+    return newton_polish(qp, w0, n_iters=n_iters, reg=reg, n_id=n_id)
 
 
-def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9):
+def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_id: int = 0):
     """Semismooth Newton with exact (bisection) line search from w0."""
     nz = qp.H0.shape[0]
     eye = jnp.eye(nz, dtype=qp.H0.dtype)
 
     def body(w, _):
-        v = qp.G @ w + qp.c0
+        v = con_mul(qp, w, n_id) + qp.c0
         du = v - qp.ub
         dl = qp.lb - v
         au = du > 0
         al = dl > 0
         gamma = jnp.where(au, qp.z1 + qp.z2 * du, 0.0) - jnp.where(al, qp.z1 + qp.z2 * dl, 0.0)
         d = jnp.where(au | al, qp.z2, 0.0)
-        grad = qp.H0 @ w + qp.g0 + qp.G.T @ gamma
-        H = qp.H0 + (qp.G * d[:, None]).T @ qp.G + reg * eye
+        grad = qp.H0 @ w + qp.g0 + con_tmul(qp, gamma, n_id)
+        H = qp.H0 + con_normal(qp, d, n_id) + reg * eye
         L = chol_factor(H)
         p = -chol_apply(L, grad)
 
         # exact line search: phi(alpha) = objective(w + alpha p) is convex
         # piecewise quadratic, so phi'(alpha) is nondecreasing piecewise
         # linear — find its root by bracket expansion + bisection.
-        s = qp.G @ p
+        s = con_mul(qp, p, n_id)
         q1 = (qp.H0 @ w + qp.g0) @ p  # phi'(0) of the smooth part
         q2 = p @ (qp.H0 @ p)
 
@@ -122,9 +152,9 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9):
     w, kkts = jax.lax.scan(body, w0, None, length=n_iters)
 
     # final KKT residual at the solution
-    v = qp.G @ w + qp.c0
+    v = con_mul(qp, w, n_id) + qp.c0
     du = v - qp.ub
     dl = qp.lb - v
     gamma = jnp.where(du > 0, qp.z1 + qp.z2 * du, 0.0) - jnp.where(dl > 0, qp.z1 + qp.z2 * dl, 0.0)
-    kkt = jnp.max(jnp.abs(qp.H0 @ w + qp.g0 + qp.G.T @ gamma))
+    kkt = jnp.max(jnp.abs(qp.H0 @ w + qp.g0 + con_tmul(qp, gamma, n_id)))
     return w, kkt
