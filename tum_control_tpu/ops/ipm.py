@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tum_control_tpu.ops.pallas_kernels.chol import chol_apply, chol_factor
+from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_factor_packed
 from tum_control_tpu.ops.soft_qp import (
     CondensedQP,
     con_mul,
@@ -146,7 +146,7 @@ def solve_soft_qp_ipm(
 
         r_w = H0 @ w + g0 + con_tmul(qp, lam_u - lam_l, n_id)
         H = H0 + con_normal(qp, sig_u + sig_l, n_id) + 1e-11 * eye
-        L = chol_factor(H)
+        L = chol_factor_packed(H)
 
         def max_step(x, dx, mask):
             ratio = jnp.where(mask & (dx < 0), -x / jnp.where(dx < 0, dx, -1.0), jnp.inf)
@@ -162,7 +162,7 @@ def solve_soft_qp_ipm(
             chat_l = jnp.where(
                 act_l, (tau / pl - lam_l + lam_l * r_pl / pl - ipb_l * a_l) / D_l, 0.0
             )
-            dw = -chol_apply(L, r_w + con_tmul(qp, chat_u - chat_l, n_id))
+            dw = -chol_apply_packed(L, r_w + con_tmul(qp, chat_u - chat_l, n_id))
             Gdw = con_mul(qp, dw, n_id)
             dlam_u = jnp.where(act_u, chat_u + sig_u * Gdw, 0.0)
             dlam_l = jnp.where(act_l, chat_l - sig_l * Gdw, 0.0)

@@ -258,6 +258,54 @@ def _solve_tpu(L, b):
     return x[:B, :n]
 
 
+def _packed_ok(a, B):
+    return jax.default_backend() == "tpu" and a.dtype == jnp.float32 and B % LANES == 0
+
+
+def _cholesky_tpu_packed(H):
+    """(B, n, n), B % LANES == 0 -> lanes-layout factors (B//LANES, np, np, LANES).
+
+    Same kernel as `_cholesky_tpu` but the output stays in the batch-in-lanes
+    layout, so downstream triangular solves skip the L-sized relayout copies
+    (3 per IPM iteration — ~10% of the whole closed-loop step)."""
+    B, n = H.shape[0], H.shape[1]
+    np_ = -(-n // BS) * BS
+    Hp = _pad_n_spd(H, np_)
+    Ht = jnp.transpose(Hp.reshape(B // LANES, LANES, np_, np_), (0, 2, 3, 1))
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        _chol_kernel_blocked,
+        out_shape=jax.ShapeDtypeStruct(Ht.shape, Ht.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, np_, np_, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, np_, np_, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(Ht)
+
+
+def _solve_tpu_packed(Lt, b):
+    """Lanes-layout factors (G, np, np, LANES) + (B, n) rhs -> (B, n)."""
+    G_, np_ = Lt.shape[0], Lt.shape[1]
+    B, n = b.shape[0], b.shape[1]
+    bp = jnp.pad(b, ((0, 0), (0, np_ - n))) if np_ != n else b
+    bt = jnp.transpose(bp.reshape(G_, LANES, np_), (0, 2, 1))
+    grid = (G_,)
+    xt = pl.pallas_call(
+        _solve_kernel_blocked,
+        out_shape=jax.ShapeDtypeStruct(bt.shape, bt.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, np_, np_, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, np_, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(Lt, bt)
+    return jnp.transpose(xt, (0, 2, 1)).reshape(B, np_)[:, :n]
+
+
 def batched_cholesky(H):
     if jax.default_backend() == "tpu" and H.dtype == jnp.float32:
         return _cholesky_tpu(H)
@@ -304,4 +352,55 @@ def _chol_apply_vmap(axis_size, in_batched, L, b):
         L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
     if not b_b:
         b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+    return batched_cholesky_solve(L, b), True
+
+
+# ---------------------------------------------------------------------------
+# Packed variants: the factor stays in the batch-in-lanes layout between the
+# factorization and its triangular solves. The packed factor is OPAQUE — its
+# (B, np, np) batched view is a bitcast of the lanes layout, NOT per-scenario
+# matrices; it must only ever be consumed by chol_apply_packed *inside the
+# same vmapped region* (exactly how the IPM / Newton polish use it). Both
+# rules take the fast path under the identical predicate (TPU + f32 + batch
+# a multiple of LANES), so producer and consumer always agree on the layout;
+# anything else falls back to the standard batched kernels.
+# ---------------------------------------------------------------------------
+
+
+@custom_batching.custom_vmap
+def chol_factor_packed(H):
+    """Factor one SPD matrix; packed/opaque under vmap (see note above)."""
+    return jnp.linalg.cholesky(H)
+
+
+@chol_factor_packed.def_vmap
+def _chol_factor_packed_vmap(axis_size, in_batched, H):
+    del axis_size
+    (h_b,) = in_batched
+    assert h_b, "chol_factor_packed: H must carry the batch axis"
+    B = H.shape[0]
+    if _packed_ok(H, B):
+        Lt = _cholesky_tpu_packed(H)            # (B//LANES, np, np, LANES)
+        return Lt.reshape(B, Lt.shape[1], Lt.shape[2]), True  # bitcast view
+    return batched_cholesky(H), True
+
+
+@custom_batching.custom_vmap
+def chol_apply_packed(L, b):
+    """Solve with a factor from chol_factor_packed (same vmapped region)."""
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
+@chol_apply_packed.def_vmap
+def _chol_apply_packed_vmap(axis_size, in_batched, L, b):
+    l_b, b_b = in_batched
+    if not l_b:
+        L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
+    if not b_b:
+        b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+    B = b.shape[0]
+    if _packed_ok(L, B):
+        np_ = L.shape[1]
+        Lt = L.reshape(B // LANES, np_, np_, LANES)  # undo the bitcast view
+        return _solve_tpu_packed(Lt, b), True
     return batched_cholesky_solve(L, b), True

@@ -34,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tum_control_tpu.ops.pallas_kernels.chol import chol_apply, chol_factor
+from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_factor_packed
 
 
 class CondensedQP(NamedTuple):
@@ -111,8 +111,8 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_i
         d = jnp.where(au | al, qp.z2, 0.0)
         grad = qp.H0 @ w + qp.g0 + con_tmul(qp, gamma, n_id)
         H = qp.H0 + con_normal(qp, d, n_id) + reg * eye
-        L = chol_factor(H)
-        p = -chol_apply(L, grad)
+        L = chol_factor_packed(H)
+        p = -chol_apply_packed(L, grad)
 
         # exact line search: phi(alpha) = objective(w + alpha p) is convex
         # piecewise quadratic, so phi'(alpha) is nondecreasing piecewise
