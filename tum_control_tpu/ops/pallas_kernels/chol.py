@@ -84,16 +84,16 @@ def _solve_kernel(l_ref, b_ref, x_ref):
     jax.lax.fori_loop(0, n, bwd, 0)
 
 
-BS = 8  # block size (f32 sublane multiple) for the blocked kernels
+BS = 16  # block size (f32 sublane multiple) for the blocked kernels
 
 
 def _chol_kernel_blocked(a_ref, l_ref):
     """Blocked right-looking Cholesky. Unrolled static block loops: per
-    8-column panel, 8 masked rank-1 updates restricted to the panel, then one
-    rank-8 update of only the *trailing* submatrix — ~5x fewer VPU
-    element-ops than the naive full-matrix rank-1 sweep (which wastes 2/3 of
-    its work on already-finished/upper entries). n must be a multiple of BS
-    (the wrapper pads with identity)."""
+    BS-column panel, BS masked rank-1 updates restricted to the panel, then
+    one rank-BS update of only the *trailing* submatrix — several times
+    fewer VPU element-ops than the naive full-matrix rank-1 sweep (which
+    wastes 2/3 of its work on already-finished/upper entries). n must be a
+    multiple of BS (the wrapper pads with identity)."""
     n = a_ref.shape[1]
     l_ref[...] = a_ref[...]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
@@ -116,7 +116,7 @@ def _chol_kernel_blocked(a_ref, l_ref):
                     - col[:, None, :] * rowfac[None, :, :]
                 )
             l_ref[0, jb:, j, :] = col
-        # --- rank-8 trailing update (rows/cols >= jb+BS only)
+        # --- rank-BS trailing update (rows/cols >= jb+BS only)
         if jb + BS < n:
             upd = None
             for t in range(BS):
@@ -132,9 +132,9 @@ def _chol_kernel_blocked(a_ref, l_ref):
 
 def _solve_kernel_blocked(l_ref, b_ref, x_ref):
     """Blocked forward+backward substitution for L L^T x = b, (n, 128) rhs.
-    Within each 8-row block: masked scalar-row steps; between blocks: one
-    rank-8 update of only the remaining rows — ~2x fewer element-ops and
-    ~4x fewer sequential ref updates than the unblocked version."""
+    Within each BS-row block: masked scalar-row steps; between blocks: one
+    rank-BS update of only the remaining rows — ~2x fewer element-ops and
+    far fewer sequential ref updates than the unblocked version."""
     n = l_ref.shape[1]
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0)
     x_ref[0] = b_ref[0]
