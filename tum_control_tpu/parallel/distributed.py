@@ -49,7 +49,9 @@ def scaling_report(sim, traj, device_counts=None, batch_per_device: int = 128, s
     for n in sorted(set(device_counts)):
         mesh = make_mesh(n)
         batch = batch_per_device * n
-        x0m, x0s = batched_scenarios(traj, batch, dtype=jnp.float32)
+        # native dtype (f32 on TPU, f64 under x64 CPU test configs) — forcing
+        # f32 here produced mixed-dtype scan carries on x64 builds
+        x0m, x0s = batched_scenarios(traj, batch)
         keys = jax.random.split(jax.random.PRNGKey(0), batch)
         sharding = NamedSharding(mesh, P("batch"))
         x0m, x0s, keys = (jax.device_put(a, sharding) for a in (x0m, x0s, keys))
