@@ -112,3 +112,45 @@ def test_fan_initial_state():
     # only the active indices are perturbed
     np.testing.assert_allclose(fan[:, [0, 1, 2, 6, 7]], np.tile([0, 1, 2, 6, 7], (11, 1)))
     assert np.abs(fan[1:, 3] - 3.0).max() > 0
+
+
+@pytest.mark.skipif(not os.path.exists(WMPC_DIR), reason="converted model missing")
+def test_wmpc_wraps_rnmpc_closed_loop():
+    """WMPC over R2NMPC: both extra states (weight mods + robust bound
+    tightening) must compose in one jitted loop — the reference embeds the
+    WMPC block in the R2 controller too
+    (Reduced_Robustified_NMPC_class.py:205-246, 373-405)."""
+    import jax
+
+    from tum_control_tpu.api import build_simulation
+    from tum_control_tpu.config import MPCConfig, SimConfig
+
+    n = 45  # > 2 weight-update periods
+    sim_cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    mpc_cfg = MPCConfig(
+        controller="rnmpc",
+        enable_WMPC=True,
+        WMPC_model="data/wmpc_models/new_BO_F",
+        weights_update_period=20,
+    )
+    sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, mpc_cfg)
+    carry, log = jax.jit(
+        lambda: sim.run(x0m, x0s, n, key=jax.random.PRNGKey(0))
+    )()
+    status = np.array(log.simSolverDebug[:, 4])
+    assert np.all(status == 0)
+    assert float(jnp.max(jnp.abs(log.lat_dev))) < 0.2
+    # the robust corrections must be active (nonzero back-offs carried)
+    extra = carry.extra
+    assert float(jnp.max(extra.base.corr_steer)) > 0
+    assert float(jnp.max(extra.base.corr_acc)) > 0
+    # and the WMPC weights must have been rewritten from the Pareto table
+    from tum_control_tpu.learn.wmpc import load_param_table
+
+    table = load_param_table(
+        os.path.join(os.path.dirname(WMPC_DIR), "..", "F.csv")
+    )
+    p = table[int(extra.action)]
+    np.testing.assert_allclose(
+        np.asarray(extra.W), [p[0], p[0], p[1], p[2], p[3], p[4]]
+    )

@@ -39,10 +39,6 @@ def build_controller(mpc_cfg: MPCConfig, sim_cfg: SimConfig, config_path: str = 
         raise ValueError(f"unknown controller '{mpc_cfg.controller}'")
 
     if mpc_cfg.enable_WMPC:
-        if name == "rnmpc":
-            raise NotImplementedError(
-                "WMPC wrapping of R2NMPC (both carry extra state) is not wired yet"
-            )
         ctrl = _wrap_wmpc(ctrl, mpc_cfg, sim_cfg)
     return ctrl
 

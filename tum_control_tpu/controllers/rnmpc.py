@@ -81,7 +81,12 @@ class ReducedRobustNMPC(NominalNMPC):
             corr_acc=jnp.zeros((self.N + 1, self.nh)),
         )
 
-    def _mods_from_extra(self, extra: RobustExtra):
+    def _mods_from_extra(self, extra: RobustExtra, mods=None):
+        """Bound-tightening QPMods; merges with caller-supplied `mods`
+        (e.g. WMPC weight overrides — the fields are disjoint, as in the
+        reference where the WMPC block rewrites cost weights while the
+        robust block rewrites lbx/ubx/uh,
+        Reduced_Robustified_NMPC_class.py:205-246 vs :335-365)."""
         from tum_control_tpu.ops.rti import QPMods
 
         con_lb = self.engine.con_lb
@@ -94,7 +99,9 @@ class ReducedRobustNMPC(NominalNMPC):
         con_lb = con_lb.at[:, nh].add(mask * extra.corr_steer)
         con_ub = con_ub.at[:, nh].add(-mask * extra.corr_steer)
         con_ub = con_ub.at[:, :nh].add(-mask[:, None] * extra.corr_acc)
-        return QPMods(con_lb=con_lb, con_ub=con_ub)
+        if mods is None:
+            mods = QPMods()
+        return mods._replace(con_lb=con_lb, con_ub=con_ub)
 
     def _propagate(self, A_lin, X_new, extra: RobustExtra) -> RobustExtra:
         """Covariance scan over stages 0..UPH-1 -> new corrections."""
@@ -121,9 +128,9 @@ class ReducedRobustNMPC(NominalNMPC):
         return RobustExtra(corr_steer=corr_steer, corr_acc=corr_acc)
 
     # ------------------------------------------------------------------
-    def solve_with_extra(self, state, extra: RobustExtra, x0, ref_window):
+    def solve_with_extra(self, state, extra: RobustExtra, x0, ref_window, mods=None):
         yref, yref_e = self.make_yref(ref_window)
-        mods = self._mods_from_extra(extra)
+        mods = self._mods_from_extra(extra, mods)
         u0, new_state, st, A_lin = self.engine.solve_full(state, x0, yref, yref_e, mods)
         u0 = jnp.stack(
             [u0[0], jnp.clip(u0[1], self.vp.delta_f_dot_min, self.vp.delta_f_dot_max)]

@@ -20,7 +20,7 @@ selects, so the whole mechanism stays inside the jitted scan.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +38,7 @@ class WMPCExtra(NamedTuple):
     We: jnp.ndarray          # (4,) current terminal weight diag
     L1: jnp.ndarray          # () current linear slack penalty
     L2: jnp.ndarray          # () current quadratic slack penalty
+    base: Any = None         # base controller's own extra (R2NMPC corrections)
 
 
 class WMPCController:
@@ -67,6 +68,9 @@ class WMPCController:
 
     def init_extra(self) -> WMPCExtra:
         eng = self.base.engine
+        base_extra = (
+            self.base.init_extra() if hasattr(self.base, "init_extra") else None
+        )
         return WMPCExtra(
             steps=jnp.zeros((), jnp.int32),
             obs=jnp.zeros(self.obs_cfg.n_observations * self.n_stack),
@@ -75,6 +79,7 @@ class WMPCController:
             We=eng.We,
             L1=jnp.asarray(float(self.base.cfg.L1_pen)),
             L2=jnp.asarray(float(self.base.cfg.L2_pen)),
+            base=base_extra,
         )
 
     def _mods(self, extra: WMPCExtra) -> QPMods:
@@ -92,7 +97,19 @@ class WMPCController:
         )
 
     def solve_with_extra(self, state, extra: WMPCExtra, x0, ref_window):
-        out, new_state = self.base.solve(state, x0, ref_window, mods=self._mods(extra))
+        # A base with its own extra state (R2NMPC: carried constraint
+        # tightening) composes: our weight mods merge with its bound mods,
+        # matching the reference R2 class where both blocks coexist
+        # (Reduced_Robustified_NMPC_class.py:205-246, 373-405).
+        if hasattr(self.base, "solve_with_extra"):
+            out, new_state, new_base = self.base.solve_with_extra(
+                state, extra.base, x0, ref_window, mods=self._mods(extra)
+            )
+        else:
+            out, new_state = self.base.solve(
+                state, x0, ref_window, mods=self._mods(extra)
+            )
+            new_base = None
 
         # --- weight update check (solve() tail in the reference) ---
         update = extra.steps >= self.period
@@ -122,6 +139,7 @@ class WMPCController:
             We=jnp.where(update, We_new, extra.We),
             L1=jnp.where(update, p[5], extra.L1),
             L2=jnp.where(update, p[6], extra.L2),
+            base=new_base,
         )
         return out, new_state, new_extra
 
