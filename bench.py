@@ -32,7 +32,7 @@ def log(*a):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
     sim_cfg = SimConfig(sim_mode=0, T=steps * 0.02)
     sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, MPCConfig())

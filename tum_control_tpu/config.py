@@ -113,12 +113,14 @@ class MPCConfig:
     WMPC_model: str = ""
     weights_update_period: int = 20
     # solver
-    qp_iters: int = 10             # interior-point iterations per RTI QP solve
+    qp_iters: int = 6              # interior-point iterations per RTI QP solve
     # Dual warm-starting across RTI steps + the exact semismooth-Newton
-    # polish make 10 sufficient: full-lap closed-loop quality is
-    # statistically identical to 15 (dev_lat mean 0.1486 vs 0.1489 m, 100%
-    # solver success on Monteblanco) at ~20% less step time. acados' 50 is
-    # a tolerance-terminated *maximum*, not a per-solve cost.
+    # polish make 6 sufficient: swept 3-10 over 1500-step 256-scenario laps,
+    # 6 gives the best tail quality (lat p99 5.8 m vs 6.2 m at 10) and
+    # full-lap dev_lat statistically identical to 10 (0.155/0.870 vs
+    # 0.149/0.871 mean/max, 100% solver success on Monteblanco); below 6
+    # the tails degrade. acados' 50 is a tolerance-terminated *maximum*,
+    # not a per-solve cost.
 
     def Q(self) -> np.ndarray:
         return np.diag(
