@@ -8,8 +8,11 @@ optimization work targets the dominant cost:
 
 Run: python tools/profile_step.py [batch]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
