@@ -28,16 +28,21 @@ G_ACC = 9.81
 VLONG_EPS = 1e-3  # below this longitudinal speed, slip angles are forced to 0
 
 
-def _pacejka(alpha, B, C, D, E):
+def _pacejka(alpha, B, C, D, E, atan=jnp.arctan):
     """Pacejka 'magic formula' lateral force at constant tyre load."""
     Ba = B * alpha
-    return D * jnp.sin(C * jnp.arctan(Ba - E * (Ba - jnp.arctan(Ba))))
+    return D * jnp.sin(C * atan(Ba - E * (Ba - atan(Ba))))
 
 
-def lateral_forces(vlong, vlat, yawrate, delta_f, a, vp: VehicleParams, tp: TireParams):
+def lateral_forces(
+    vlong, vlat, yawrate, delta_f, a, vp: VehicleParams, tp: TireParams,
+    atan=jnp.arctan,
+):
     """Shared force core -> (Fx_f, Fx_r, Fy_f, Fy_r, Faero, Fbank_x, Fbank_y).
 
     `a` is the longitudinal acceleration command driving the rear axle.
+    `atan` is injectable so Pallas kernels (which have no native arctan
+    lowering) can substitute a polynomial implementation.
     """
     # rolling resistance (speed-dependent friction coefficient; v in km/h).
     # The tiny epsilon keeps the sqrt gradient finite at standstill without
@@ -64,26 +69,29 @@ def lateral_forces(vlong, vlat, yawrate, delta_f, a, vp: VehicleParams, tp: Tire
     # slip angles with a NaN-safe low-speed guard (zero slip below VLONG_EPS)
     moving = vlong > VLONG_EPS
     vl_safe = jnp.where(moving, vlong, 1.0)
-    alpha_f = jnp.where(moving, delta_f - jnp.arctan((vlat + vp.lf * yawrate) / vl_safe), 0.0)
-    alpha_r = jnp.where(moving, jnp.arctan((vp.lr * yawrate - vlat) / vl_safe), 0.0)
+    alpha_f = jnp.where(moving, delta_f - atan((vlat + vp.lf * yawrate) / vl_safe), 0.0)
+    alpha_r = jnp.where(moving, atan((vp.lr * yawrate - vlat) / vl_safe), 0.0)
 
     # Pacejka lateral forces + combined-slip de-rating
-    Fy_f_lat = _pacejka(alpha_f, tp.Bf, tp.Cf, tp.Df, tp.Ef)
-    Fy_r_lat = _pacejka(alpha_r, tp.Br, tp.Cr, tp.Dr, tp.Er)
+    Fy_f_lat = _pacejka(alpha_f, tp.Bf, tp.Cf, tp.Df, tp.Ef, atan)
+    Fy_r_lat = _pacejka(alpha_r, tp.Br, tp.Cr, tp.Dr, tp.Er, atan)
     Fmax_f = jnp.sqrt(Fz_f**2 + (tp.Cf * Fz_f) ** 2)
     Fmax_r = jnp.sqrt(Fz_r**2 + (tp.Cr * Fz_r) ** 2)
     Gy_f = jnp.clip(Fx_f / Fmax_f, -0.98, 0.98)
     Gy_r = jnp.clip(Fx_r / Fmax_r, -0.98, 0.98)
-    Fy_f = Fy_f_lat * jnp.cos(jnp.arcsin(Gy_f))
-    Fy_r = Fy_r_lat * jnp.cos(jnp.arcsin(Gy_r))
+    # cos(arcsin(g)) = sqrt(1 - g^2) exactly (values and gradients; |g|<=0.98)
+    # — the reference's cos(arcsin(clip(...))) combined-slip correction,
+    # pred_model_dynamic_stm_pacejka.py:158-163, in arcsin-free form.
+    Fy_f = Fy_f_lat * jnp.sqrt(1.0 - Gy_f**2)
+    Fy_r = Fy_r_lat * jnp.sqrt(1.0 - Gy_r**2)
 
     return Fx_f, Fx_r, Fy_f, Fy_r, Faero, Fbank_x, Fbank_y
 
 
-def _body_derivatives(yaw, vlong, vlat, yawrate, delta_f, a, vp, tp):
+def _body_derivatives(yaw, vlong, vlat, yawrate, delta_f, a, vp, tp, atan=jnp.arctan):
     """(posx_dot, posy_dot, yaw_dot, vlong_dot, vlat_dot, yawrate_dot)."""
     Fx_f, Fx_r, Fy_f, Fy_r, Faero, Fbank_x, Fbank_y = lateral_forces(
-        vlong, vlat, yawrate, delta_f, a, vp, tp
+        vlong, vlat, yawrate, delta_f, a, vp, tp, atan
     )
     cd, sd = jnp.cos(delta_f), jnp.sin(delta_f)
     posx_dot = vlong * jnp.cos(yaw) - vlat * jnp.sin(yaw)
@@ -102,6 +110,18 @@ def pred_ode(x, u, vp: VehicleParams, tp: TireParams):
     d = _body_derivatives(yaw, vlong, vlat, yawrate, delta_f, a, vp, tp)
     # delta_f_dot = steering_rate, a_dot = jerk
     return jnp.stack([d[0], d[1], d[2], d[3], d[4], d[5], u[..., 1], u[..., 0]], axis=-1)
+
+
+def pred_ode_tuple(x, u, vp: VehicleParams, tp: TireParams, atan=jnp.arctan):
+    """Structure-of-arrays form of `pred_ode`: x is a tuple of 8 per-variable
+    arrays, u a tuple of 2; returns a tuple of 8 derivatives. Used inside
+    Pallas kernels where per-variable tiles must stay separate (stacking them
+    into a trailing axis would put the 8-wide variable index in the 128-wide
+    lane dimension). Same math as `pred_ode` (shared `_body_derivatives`)."""
+    _, _, yaw, vlong, vlat, yawrate, delta_f, a = x
+    jerk, ddelta = u
+    d = _body_derivatives(yaw, vlong, vlat, yawrate, delta_f, a, vp, tp, atan)
+    return (d[0], d[1], d[2], d[3], d[4], d[5], ddelta, jerk)
 
 
 def sim_ode(x, u, vp: VehicleParams, tp: TireParams):

@@ -1,0 +1,187 @@
+"""Pallas TPU kernel: batched full condensing of the OCP sensitivities.
+
+Full condensing builds, per scenario, the affine map from the stacked
+control deviations w = vec(dU) to the state deviations:
+
+    dx_k = e_k + Gamma_k w,   e_{k+1} = A_k e_k + xi_k,
+                              Gamma_{k+1} = A_k Gamma_k + B_k E_k
+
+(the acados FULL_CONDENSING role, NMPC_STM_acados_settings.py:231). The
+recurrence is sequential in the stage index k, so XLA's `lax.scan` lowering
+round-trips the (batch, nx, nz) Gamma through HBM on every one of the N
+stages — measured ~1.0 ms per closed-loop step at batch 256 (N=38, nx=8),
+~30% of the whole step.
+
+This kernel keeps the recurrence entirely in VMEM with the batch in the
+128-wide lane dimension (same layout as `chol.py`): Gamma is an
+(nx, nz, 128) tile updated in place over a sequential stage grid, with the
+carry in scratch across grid steps; stage chunks of the (A, B, xi) inputs
+and the (e, Gamma) outputs stream HBM<->VMEM block by block. Each stage is
+nx*nx FMAs of (nz, 128) tiles on the VPU — ~20x less wall-clock than the
+XLA scan.
+
+The public entry `condense_scan` is a `custom_vmap`: unbatched it is the
+plain jnp scan (CPU tests, f64), under `vmap` on TPU/f32 it dispatches to
+the kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import custom_batching
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+MAX_NX_FAST = 16  # lanes-kernel fast path (SNMPC's stacked nx=88 falls back)
+
+
+# ---------------------------------------------------------------------------
+# reference jnp implementation (single scenario; also the CPU/f64 path)
+# ---------------------------------------------------------------------------
+def condense_scan_ref(A, B, xi, d0):
+    """(N,nx,nx), (N,nx,nu), (N,nx), (nx) -> e (N+1,nx), Gam (N+1,nx,nz)."""
+    N, nx, nu = B.shape
+    nz = N * nu
+    E = jnp.eye(nz, dtype=A.dtype).reshape(N, nu, nz)
+
+    def body(carry, inp):
+        e, Gam = carry
+        A_k, B_k, xi_k, E_k = inp
+        e_n = A_k @ e + xi_k
+        Gam_n = A_k @ Gam + B_k @ E_k
+        return (e_n, Gam_n), (e_n, Gam_n)
+
+    Gam0 = jnp.zeros((nx, nz), dtype=A.dtype)
+    (_, _), (e_tail, Gam_tail) = jax.lax.scan(body, (d0, Gam0), (A, B, xi, E))
+    e = jnp.concatenate([d0[None], e_tail], axis=0)
+    Gam = jnp.concatenate([Gam0[None], Gam_tail], axis=0)
+    return e, Gam
+
+
+# ---------------------------------------------------------------------------
+# TPU kernel
+# ---------------------------------------------------------------------------
+def _make_kernel(nx: int, nu: int, nz: int, C: int):
+    def kernel(a_ref, b_ref, xi_ref, d0_ref, e_ref, gam_ref, ce, cg):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            ce[...] = d0_ref[0]
+            cg[...] = jnp.zeros_like(cg)
+
+        e = ce[...]          # (nx, L)
+        gam = cg[...]        # (nx, nz, L)
+        colid = jax.lax.broadcasted_iota(jnp.int32, (1, nz, 1), 1)
+        base = j * C * nu
+        for t in range(C):
+            A = a_ref[0, t]      # (nx, nx, L)
+            Bt = b_ref[0, t]     # (nx, nu, L)
+            xi = xi_ref[0, t]    # (nx, L)
+            e = jnp.sum(A * e[None, :, :], axis=1) + xi
+            acc = A[:, 0, :][:, None, :] * gam[0][None, :, :]
+            for m in range(1, nx):
+                acc = acc + A[:, m, :][:, None, :] * gam[m][None, :, :]
+            for q in range(nu):
+                mask = colid == base + t * nu + q
+                acc = acc + jnp.where(mask, Bt[:, q, :][:, None, :], 0.0)
+            e_ref[0, t] = e
+            gam_ref[0, t] = acc
+            gam = acc
+        ce[...] = e
+        cg[...] = gam
+
+    return kernel
+
+
+def _condense_tpu(A, B, xi, d0):
+    """Batched condensing, batch-in-lanes. A (Bt,N,nx,nx) etc. -> (e, Gam)
+    with the leading stage-0 entries (d0, 0) prepended, matching the ref."""
+    Bt_, N, nx, nu = B.shape
+    nz = N * nu
+    C = max(1, min(8, 64 // max(nx, 1)))  # stage chunk size
+    Npad = -(-N // C) * C
+    Bp = -(-Bt_ // LANES) * LANES
+    G = Bp // LANES
+
+    def pad_b(a):
+        if Bp != Bt_:
+            a = jnp.concatenate(
+                [a, jnp.zeros((Bp - Bt_,) + a.shape[1:], a.dtype)], axis=0
+            )
+        return a
+
+    def pad_n(a):
+        if Npad != N:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], Npad - N) + a.shape[2:], a.dtype)],
+                axis=1,
+            )
+        return a
+
+    # (Bp, Npad, ...) -> (G, Npad, ..., LANES)
+    At = jnp.transpose(pad_n(pad_b(A)).reshape(G, LANES, Npad, nx, nx), (0, 2, 3, 4, 1))
+    Bt = jnp.transpose(pad_n(pad_b(B)).reshape(G, LANES, Npad, nx, nu), (0, 2, 3, 4, 1))
+    xit = jnp.transpose(pad_n(pad_b(xi)).reshape(G, LANES, Npad, nx), (0, 2, 3, 1))
+    d0t = jnp.transpose(pad_b(d0).reshape(G, LANES, nx), (0, 2, 1))
+
+    grid = (G, Npad // C)
+    e_t, gam_t = pl.pallas_call(
+        _make_kernel(nx, nu, nz, C),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, C, nx, nx, LANES), lambda g, j: (g, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, nx, nu, LANES), lambda g, j: (g, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, nx, LANES), lambda g, j: (g, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nx, LANES), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, nx, LANES), lambda g, j: (g, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, nx, nz, LANES), lambda g, j: (g, j, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Npad, nx, LANES), A.dtype),
+            jax.ShapeDtypeStruct((G, Npad, nx, nz, LANES), A.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nx, LANES), A.dtype),
+            pltpu.VMEM((nx, nz, LANES), A.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(At, Bt, xit, d0t)
+
+    e_tail = jnp.transpose(e_t, (0, 3, 1, 2)).reshape(Bp, Npad, nx)[:Bt_, :N]
+    gam_tail = jnp.transpose(gam_t, (0, 4, 1, 2, 3)).reshape(Bp, Npad, nx, nz)[:Bt_, :N]
+    e = jnp.concatenate([d0[:, None, :], e_tail], axis=1)
+    Gam0 = jnp.zeros((Bt_, 1, nx, nz), dtype=A.dtype)
+    Gam = jnp.concatenate([Gam0, gam_tail], axis=1)
+    return e, Gam
+
+
+def _fast_ok(A):
+    return (
+        jax.default_backend() == "tpu"
+        and A.dtype == jnp.float32
+        and A.shape[2] <= MAX_NX_FAST
+    )
+
+
+@custom_batching.custom_vmap
+def condense_scan(A, B, xi, d0):
+    """Condense one scenario (batched rule -> Pallas lanes kernel)."""
+    return condense_scan_ref(A, B, xi, d0)
+
+
+@condense_scan.def_vmap
+def _condense_scan_vmap(axis_size, in_batched, A, B, xi, d0):
+    bA, bB, bxi, bd0 = in_batched
+    bc = lambda x, b: x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    A, B, xi, d0 = bc(A, bA), bc(B, bB), bc(xi, bxi), bc(d0, bd0)
+    if _fast_ok(A):
+        e, Gam = _condense_tpu(A, B, xi, d0)
+    else:
+        e, Gam = jax.vmap(condense_scan_ref)(A, B, xi, d0)
+    return (e, Gam), (True, True)
