@@ -139,6 +139,8 @@ class NominalNMPC:
             con_stage,
             resid_stage=resid_lonlat if external else None,
             resid_term=resid_lonlat_term if external else None,
+            y_select=(0, 1, 2, 3),
+            y_select_term=(0, 1, 2, 3),
         )
         self.engine = RTIEngine(
             funcs=funcs,

@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tum_control_tpu.ops.ipm import IPMWarm, init_warm, solve_soft_qp_ipm
 from tum_control_tpu.ops.soft_qp import CondensedQP
@@ -54,6 +55,14 @@ class OCPFunctions(NamedTuple):
     # optional structure-exploiting dynamics linearization (e.g. SNMPC's
     # block-sparse stacked-sample sensitivities); default: jacfwd of dyn_step
     dyn_jac: Callable = None       # (k, x, u) -> (F (nx,), A (nx,nx), B (nx,nu))
+    # optional cost-structure hint: when y_stage(k, x, u) == [g(x[sel]), u]
+    # with unit diagonal Jacobian on the selected states (true for the
+    # NONLINEAR_LS formulations: g is at most a yaw rewrap whose derivative
+    # is 1), the Gauss-Newton blocks reduce to row slices of Gamma plus a
+    # diagonal control block — no y-Jacobian evaluation, no (N, ny, nz)
+    # einsums, and an (N*len(sel), nz) instead of (N*ny, nz) Hessian matmul.
+    y_select: tuple = None         # state indices for the leading y rows
+    y_select_term: tuple = None    # state indices for y_term rows
 
 
 class RTIState(NamedTuple):
@@ -212,23 +221,54 @@ class RTIEngine:
 
         XU = jnp.concatenate([state.X[:-1], state.U], axis=1)
         Y = jax.vmap(y_xu)(ks, XU)                         # (N, ny)
-        Jy = jax.vmap(jax.jacfwd(y_xu, argnums=1))(ks, XU)  # (N, ny, nx+nu)
-        Jyx, Jyu = Jy[:, :, :nx], Jy[:, :, nx:]
-        r0 = Y - yref + jnp.einsum("kij,kj->ki", Jyx, e[:N])
-        M = jnp.einsum("kij,kjz->kiz", Jyx, Gam[:N]) + jnp.einsum(
-            "kij,kjz->kiz", Jyu, self.E
-        )                                                   # (N, ny, nz)
 
-        ye = self.funcs.y_term(state.X[N])
-        Jye = jax.jacfwd(self.funcs.y_term)(state.X[N])     # (ny_e, nx)
-        re0 = ye - yref_e + Jye @ e[N]
-        Me = Jye @ Gam[N]                                   # (ny_e, nz)
+        if self.funcs.y_select is not None:
+            # selection-structured cost: y = [x[sel] (unit Jacobian), u]
+            sel = np.asarray(self.funcs.y_select)
+            sel_e = np.asarray(self.funcs.y_select_term)
+            ns = len(sel)
+            r_x = Y[:, :ns] - yref[:, :ns] + e[:N][:, sel]   # (N, ns)
+            r_u = Y[:, ns:] - yref[:, ns:]                   # (N, nu)
+            Wx, Wu = W[:ns], W[ns:]
+            Mf4 = Gam[:N][:, sel, :].reshape(N * ns, nz)
+            wtsx = jnp.tile(Wx, N)
+            ye = self.funcs.y_term(state.X[N])
+            re0 = ye - yref_e + e[N][sel_e]
+            Me = Gam[N][sel_e]                               # (ny_e, nz)
+            H0 = (
+                (Mf4 * wtsx[:, None]).T @ Mf4
+                + (Me * We[:, None]).T @ Me
+                + jnp.diag(jnp.tile(Wu, N))
+            )
+            g0 = (
+                Mf4.T @ (wtsx * r_x.reshape(-1))
+                + (Wu[None, :] * r_u).reshape(-1)
+                + Me.T @ (We * re0)
+            )
+        else:
+            Jy = jax.vmap(jax.jacfwd(y_xu, argnums=1))(ks, XU)  # (N, ny, nx+nu)
+            Jyx, Jyu = Jy[:, :, :nx], Jy[:, :, nx:]
+            r0 = Y - yref + jnp.einsum("kij,kj->ki", Jyx, e[:N])
+            M = jnp.einsum("kij,kjz->kiz", Jyx, Gam[:N]) + jnp.einsum(
+                "kij,kjz->kiz", Jyu, self.E
+            )                                                   # (N, ny, nz)
 
-        Mf = M.reshape(N * M.shape[1], nz)
-        rf = r0.reshape(-1)
-        wts = jnp.tile(W, N)
-        H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
-        g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+            ye = self.funcs.y_term(state.X[N])
+            Jye = jax.jacfwd(self.funcs.y_term)(state.X[N])     # (ny_e, nx)
+            re0 = ye - yref_e + Jye @ e[N]
+            Me = Jye @ Gam[N]                                   # (ny_e, nz)
+
+            Mf = M.reshape(N * M.shape[1], nz)
+            rf = r0.reshape(-1)
+            wts = jnp.tile(W, N)
+            H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
+            g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+
+        if self.lm_reg:
+            # Levenberg-Marquardt damping in the condensed variable space
+            # (the reference's levenberg_marquardt=0.1 for the EXTERNAL
+            # variant, NMPC_STM_acados_settings_dev_lonlat.py:268)
+            H0 = H0 + self.lm_reg * jnp.eye(nz, dtype=H0.dtype)
 
         # --- constraint rows ---
         kall = jnp.arange(N + 1)
