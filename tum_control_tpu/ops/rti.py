@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tum_control_tpu.ops.ipm import IPMWarm, init_warm, solve_soft_qp_ipm
+from tum_control_tpu.ops.pallas_kernels.condense import condense_scan
 from tum_control_tpu.ops.soft_qp import CondensedQP
 
 BIG = 1e12  # stands in for +/- inf bounds (inf would produce inf*0 NaNs)
@@ -172,21 +173,14 @@ class RTIEngine:
         return A, B, xi
 
     def _condense(self, A, B, xi, d0):
-        """e_k, Gamma_k such that Dx_k = e_k + Gamma_k w."""
-        nz = self.nz
+        """e_k, Gamma_k such that Dx_k = e_k + Gamma_k w.
 
-        def body(carry, inp):
-            e, Gam = carry
-            A_k, B_k, xi_k, E_k = inp
-            e_n = A_k @ e + xi_k
-            Gam_n = A_k @ Gam + B_k @ E_k
-            return (e_n, Gam_n), (e_n, Gam_n)
-
-        Gam0 = jnp.zeros((self.nx, nz), dtype=A.dtype)
-        (_, _), (e_tail, Gam_tail) = jax.lax.scan(body, (d0, Gam0), (A, B, xi, self.E))
-        e = jnp.concatenate([d0[None], e_tail], axis=0)
-        Gam = jnp.concatenate([Gam0[None], Gam_tail], axis=0)
-        return e, Gam
+        `condense_scan` is the jnp stage scan unbatched; under vmap on
+        TPU/f32 it dispatches to the batch-in-lanes Pallas kernel
+        (ops/pallas_kernels/condense.py) — faster and exact f32, where the
+        XLA scan's per-stage batched matmuls accumulate ~2e-2 relative
+        error through the default-precision MXU."""
+        return condense_scan(A, B, xi, d0)
 
     # ------------------------------------------------------------------
     def _merged(self, mods: "QPMods | None"):
