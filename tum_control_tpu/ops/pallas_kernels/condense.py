@@ -63,6 +63,11 @@ def condense_scan_ref(A, B, xi, d0):
 # TPU kernel
 # ---------------------------------------------------------------------------
 def _make_kernel(nx: int, nu: int, nz: int, C: int):
+    """Write-first kernel: chunk j's slot t receives (e_k, Gamma_k) for
+    k = j*C + t *before* the stage-k update, so the outputs directly cover
+    stages 0..N (stage 0 = (d0, 0)) with no stage-0 concatenate downstream
+    (the concats showed up as two ~9.5 MB strided copies per solve)."""
+
     def kernel(a_ref, b_ref, xi_ref, d0_ref, e_ref, gam_ref, ce, cg):
         j = pl.program_id(1)
 
@@ -76,6 +81,8 @@ def _make_kernel(nx: int, nu: int, nz: int, C: int):
         colid = jax.lax.broadcasted_iota(jnp.int32, (1, nz, 1), 1)
         base = j * C * nu
         for t in range(C):
+            e_ref[0, t] = e
+            gam_ref[0, t] = gam
             A = a_ref[0, t]      # (nx, nx, L)
             Bt = b_ref[0, t]     # (nx, nu, L)
             xi = xi_ref[0, t]    # (nx, L)
@@ -86,8 +93,6 @@ def _make_kernel(nx: int, nu: int, nz: int, C: int):
             for q in range(nu):
                 mask = colid == base + t * nu + q
                 acc = acc + jnp.where(mask, Bt[:, q, :][:, None, :], 0.0)
-            e_ref[0, t] = e
-            gam_ref[0, t] = acc
             gam = acc
         ce[...] = e
         cg[...] = gam
@@ -101,7 +106,7 @@ def _condense_tpu(A, B, xi, d0):
     Bt_, N, nx, nu = B.shape
     nz = N * nu
     C = max(1, min(8, 64 // max(nx, 1)))  # stage chunk size
-    Npad = -(-N // C) * C
+    Npad = -(-(N + 1) // C) * C  # slot t holds stage k pre-update: N+1 outputs
     Bp = -(-Bt_ // LANES) * LANES
     G = Bp // LANES
 
@@ -153,11 +158,10 @@ def _condense_tpu(A, B, xi, d0):
         ),
     )(At, Bt, xit, d0t)
 
-    e_tail = jnp.transpose(e_t, (0, 3, 1, 2)).reshape(Bp, Npad, nx)[:Bt_, :N]
-    gam_tail = jnp.transpose(gam_t, (0, 4, 1, 2, 3)).reshape(Bp, Npad, nx, nz)[:Bt_, :N]
-    e = jnp.concatenate([d0[:, None, :], e_tail], axis=1)
-    Gam0 = jnp.zeros((Bt_, 1, nx, nz), dtype=A.dtype)
-    Gam = jnp.concatenate([Gam0, gam_tail], axis=1)
+    e = jnp.transpose(e_t, (0, 3, 1, 2)).reshape(Bp, Npad, nx)[:Bt_, : N + 1]
+    Gam = jnp.transpose(gam_t, (0, 4, 1, 2, 3)).reshape(Bp, Npad, nx, nz)[
+        :Bt_, : N + 1
+    ]
     return e, Gam
 
 

@@ -218,17 +218,23 @@ class RTIEngine:
 
         if self.funcs.y_select is not None:
             # selection-structured cost: y = [x[sel] (unit Jacobian), u]
-            sel = np.asarray(self.funcs.y_select)
-            sel_e = np.asarray(self.funcs.y_select_term)
+            sel = tuple(self.funcs.y_select)
+            sel_e = tuple(self.funcs.y_select_term)
             ns = len(sel)
-            r_x = Y[:, :ns] - yref[:, :ns] + e[:N][:, sel]   # (N, ns)
+            # static per-index slices: an index-array gather here lowers to a
+            # serial while-loop with full-Gamma dynamic-update-slices
+            # (measured 0.6 ms/step at batch 256)
+            take = lambda a, ax, idxs: jnp.concatenate(
+                [jax.lax.slice_in_dim(a, i, i + 1, axis=ax) for i in idxs], axis=ax
+            )
+            r_x = Y[:, :ns] - yref[:, :ns] + take(e[:N], 1, sel)   # (N, ns)
             r_u = Y[:, ns:] - yref[:, ns:]                   # (N, nu)
             Wx, Wu = W[:ns], W[ns:]
-            Mf4 = Gam[:N][:, sel, :].reshape(N * ns, nz)
+            Mf4 = take(Gam[:N], 1, sel).reshape(N * ns, nz)
             wtsx = jnp.tile(Wx, N)
             ye = self.funcs.y_term(state.X[N])
-            re0 = ye - yref_e + e[N][sel_e]
-            Me = Gam[N][sel_e]                               # (ny_e, nz)
+            re0 = ye - yref_e + take(e[N], 0, sel_e)
+            Me = take(Gam[N], 0, sel_e)                      # (ny_e, nz)
             H0 = (
                 (Mf4 * wtsx[:, None]).T @ Mf4
                 + (Me * We[:, None]).T @ Me
