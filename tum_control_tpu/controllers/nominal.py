@@ -31,8 +31,10 @@ from tum_control_tpu.controllers.common import (
     acc_constraints,
     wrap_2pi,
 )
-from tum_control_tpu.models.integrators import rk4_multistep
-from tum_control_tpu.models.vehicle_stm import pred_ode
+from tum_control_tpu.models.integrators import rk4_multistep, rk4_multistep_tree
+from tum_control_tpu.models.vehicle_stm import pred_ode, pred_ode_tuple
+from tum_control_tpu.ops.pallas_kernels.fastmath import atan_poly
+from tum_control_tpu.ops.pallas_kernels.linearize import make_linearize_rollout
 from tum_control_tpu.ops.rti import BIG, OCPFunctions, RTIEngine, RTIState
 from tum_control_tpu.params import TireParams, VehicleParams
 
@@ -73,6 +75,16 @@ class NominalNMPC:
             return rk4_multistep(
                 lambda xx, uu: pred_ode(xx, uu, vp, tp), x, u, dt, N_SHOOTING_SUBSTEPS
             )
+
+        # fused Pallas rollout+sensitivity path (jacfwd fallback off-TPU)
+        step_tuple_kernel = lambda x, u: rk4_multistep_tree(
+            lambda a, b: pred_ode_tuple(a, b, vp, tp, atan=atan_poly),
+            x, u, dt, N_SHOOTING_SUBSTEPS,
+        )
+        lin_rollout = make_linearize_rollout(
+            lambda x, u: dyn_step(0, x, u), self.nx, self.nu,
+            step_tuple_kernel=step_tuple_kernel,
+        )
 
         def y_stage(k, x, u):
             return jnp.concatenate(
@@ -141,6 +153,7 @@ class NominalNMPC:
             resid_term=resid_lonlat_term if external else None,
             y_select=(0, 1, 2, 3),
             y_select_term=(0, 1, 2, 3),
+            lin_rollout=lin_rollout,
         )
         self.engine = RTIEngine(
             funcs=funcs,

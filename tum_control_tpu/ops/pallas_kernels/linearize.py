@@ -92,24 +92,28 @@ def _kernel_path(step_tuple, XU, nx: int):
     return F, J
 
 
-def make_linearize_rollout(step_tuple, nx: int, nu: int, step_tuple_kernel=None):
+def make_linearize_rollout(step_array, nx: int, nu: int, step_tuple_kernel=None):
     """Build the per-scenario linearization fn with a Pallas batched rule.
 
-    `step_tuple` must be stage-index-independent (true for the continuous
-    prediction-model controllers; SNMPC's stop-flag dynamics provide their
-    own structured `dyn_jac` instead, controllers/snmpc.py).
+    `step_array`: array-form discrete step `(x (nx,), u (nu,)) -> (nx,)` used
+    by the vmap(jacfwd) fallback (CPU/f64 tests; compact array jaxpr — the
+    tuple form there explodes into thousands of scalar equations and
+    multi-minute XLA CPU compiles).
 
-    `step_tuple_kernel`, if given, is the variant used inside the Pallas
-    kernel (e.g. with `fastmath.atan_poly` substituted for jnp.arctan, which
-    Mosaic cannot lower); it must agree with `step_tuple` to f32 roundoff.
+    `step_tuple_kernel`: structure-of-arrays variant traced inside the Pallas
+    kernel (per-variable tiles; `fastmath.atan_poly` substituted for
+    jnp.arctan, which Mosaic cannot lower); must agree with `step_array` to
+    f32 roundoff. Both must be stage-index-independent (true for the
+    continuous prediction-model controllers; SNMPC's stop-flag dynamics
+    provide their own structured `dyn_jac` instead, controllers/snmpc.py).
     """
     nv = nx + nu
-    step_tuple_k = step_tuple_kernel if step_tuple_kernel is not None else step_tuple
+    assert step_tuple_kernel is not None
+    step_tuple_k = step_tuple_kernel
 
     def jacfwd_path(XU):  # (N, nv) -> (F, J)
         def step_xu(xu):
-            x, u = xu[:nx], xu[nx:]
-            return jnp.stack(step_tuple(tuple(x[i] for i in range(nx)), tuple(u[i] for i in range(nu))))
+            return step_array(xu[:nx], xu[nx:])
 
         F = jax.vmap(step_xu)(XU)
         J = jax.vmap(jax.jacfwd(step_xu))(XU)

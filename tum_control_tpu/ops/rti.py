@@ -56,6 +56,10 @@ class OCPFunctions(NamedTuple):
     # optional structure-exploiting dynamics linearization (e.g. SNMPC's
     # block-sparse stacked-sample sensitivities); default: jacfwd of dyn_step
     dyn_jac: Callable = None       # (k, x, u) -> (F (nx,), A (nx,nx), B (nx,nu))
+    # optional fused rollout+sensitivity function over all stages at once
+    # ((N, nx+nu) -> (F (N, nx), J (N, nx, nx+nu))), e.g. the Pallas kernel
+    # from ops/pallas_kernels/linearize.py. Takes priority over dyn_jac.
+    lin_rollout: Callable = None
     # optional cost-structure hint: when y_stage(k, x, u) == [g(x[sel]), u]
     # with unit diagonal Jacobian on the selected states (true for the
     # NONLINEAR_LS formulations: g is at most a yaw rewrap whose derivative
@@ -157,6 +161,11 @@ class RTIEngine:
     def _linearize(self, state: RTIState):
         N, nx, nu = self.N, self.nx, self.nu
         ks = jnp.arange(N)
+
+        if self.funcs.lin_rollout is not None:
+            XU = jnp.concatenate([state.X[:-1], state.U], axis=1)
+            F, J = self.funcs.lin_rollout(XU)
+            return J[:, :, :nx], J[:, :, nx:], F - state.X[1:]
 
         if self.funcs.dyn_jac is not None:
             F, A, B = jax.vmap(self.funcs.dyn_jac)(ks, state.X[:-1], state.U)
