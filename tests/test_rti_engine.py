@@ -83,3 +83,24 @@ def test_warm_start_reaches_same_fixed_point_as_cold():
     for _ in range(25):
         st_b = solve_j(st_b)
     np.testing.assert_allclose(np.asarray(st_a.U), np.asarray(st_b.U), atol=2e-5)
+
+
+def test_multi_sqp_iteration_equals_repeated_rti():
+    """sqp_iters=K per control step (the acados SQP mode used by the
+    reference's EXTERNAL variant, NMPC_STM_acados_settings_dev_lonlat.py:
+    256-278) performs exactly the same operations as K consecutive RTI
+    solves at frozen (x0, ref) — bit-equal iterates."""
+    sim_cfg = SimConfig(Tp=8 * 0.08)
+    ctrl1 = build_controller(MPCConfig(qp_iters=40, sqp_iters=1), sim_cfg)
+    ctrl2 = build_controller(MPCConfig(qp_iters=40, sqp_iters=2), sim_cfg)
+    _, x0, window = _small_setup()
+
+    st1 = ctrl1.init_state(x0)
+    for _ in range(2):
+        _, st1 = ctrl1.solve(st1, x0, window)
+    st2 = ctrl2.init_state(x0)
+    out2, st2 = ctrl2.solve(st2, x0, window)
+
+    np.testing.assert_array_equal(np.asarray(st1.U), np.asarray(st2.U))
+    np.testing.assert_array_equal(np.asarray(st1.X), np.asarray(st2.X))
+    assert int(np.asarray(out2.stats)[2]) == 2

@@ -114,6 +114,10 @@ class MPCConfig:
     weights_update_period: int = 20
     # solver
     qp_iters: int = 6              # interior-point iterations per RTI QP solve
+    sqp_iters: int = 1             # SQP iterations per control step: 1 = the
+    # reference's SQP_RTI (NMPC_STM_acados_settings.py:234); >1 re-linearizes
+    # within the step (acados' SQP mode), buying tracking quality with the
+    # latency headroom of the TPU step (see docs/RESULTS.md)
     # Dual warm-starting across RTI steps + the exact semismooth-Newton
     # polish make 6 sufficient: swept 3-10 over 1500-step 256-scenario laps,
     # 6 gives the best tail quality (lat p99 5.8 m vs 6.2 m at 10) and

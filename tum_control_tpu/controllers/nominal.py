@@ -171,6 +171,7 @@ class NominalNMPC:
             u_z1=jnp.asarray(u_z1),
             u_z2=jnp.asarray(u_z2),
             newton_iters=mpc_cfg.qp_iters,
+            sqp_iters=mpc_cfg.sqp_iters,
             lm_reg=0.1 if external else 0.0,
         )
 

@@ -208,6 +208,7 @@ class StochasticNMPC:
             u_z1=jnp.asarray(u_z1),
             u_z2=jnp.asarray(u_z2),
             newton_iters=mpc_cfg.qp_iters,
+            sqp_iters=mpc_cfg.sqp_iters,
         )
 
     # ------------------------------------------------------------------

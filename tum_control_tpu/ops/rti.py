@@ -104,7 +104,7 @@ class QPMods(NamedTuple):
 class SolverStats(NamedTuple):
     cost: jnp.ndarray      # nonlinear cost incl. slack penalties (get_cost analog)
     kkt_res: jnp.ndarray   # inf-norm KKT residual of the QP solve
-    sqp_iter: jnp.ndarray  # always 1 (RTI)
+    sqp_iter: jnp.ndarray  # SQP iterations per control step (1 = RTI)
     qp_iter: jnp.ndarray   # Newton iterations used
     status: jnp.ndarray    # 0 ok | 3 NaN detected (acados NAN_SOL analog)
 
@@ -135,8 +135,10 @@ class RTIEngine:
         u_z2: jnp.ndarray,    # (N, nu)
         newton_iters: int = 15,
         lm_reg: float = 0.0,
+        sqp_iters: int = 1,
     ):
         self.lm_reg = lm_reg
+        self.sqp_iters = sqp_iters
         self.funcs = funcs
         self.N, self.nx, self.nu = N, nx, nu
         self.nz = N * nu
@@ -342,14 +344,22 @@ class RTIEngine:
         u0 falls back to the previous first control — the caller decides how
         to re-initialize, mirroring main.py:59-61.
         """
-        qp, e, Gam, A_lin = self._build_qp(state, x0, yref, yref_e, mods, want_A=True)
-        w, kkt, warm_out = solve_soft_qp_ipm(
-            qp, n_iters=self.newton_iters, n_polish=1, warm=state.warm, n_id=self.nz
-        )
-
-        dX = e + jnp.einsum("kxz,z->kx", Gam, w)
-        X_new = state.X + dX
-        U_new = state.U + w.reshape(self.N, self.nu)
+        # sqp_iters = 1 is the reference's SQP_RTI; > 1 re-linearizes within
+        # the control step (acados' SQP mode, full steps, no line search)
+        it_state = state
+        for _ in range(self.sqp_iters):
+            qp, e, Gam, A_lin = self._build_qp(it_state, x0, yref, yref_e, mods, want_A=True)
+            w, kkt, warm_out = solve_soft_qp_ipm(
+                qp, n_iters=self.newton_iters, n_polish=1, warm=it_state.warm, n_id=self.nz
+            )
+            dX = e + jnp.einsum("kxz,z->kx", Gam, w)
+            it_state = RTIState(
+                X=it_state.X + dX,
+                U=it_state.U + w.reshape(self.N, self.nu),
+                warm=warm_out,
+            )
+        X_new, U_new = it_state.X, it_state.U
+        warm_out = it_state.warm
 
         # failure detection: non-finite or exploded iterates count as NAN_SOL.
         # (An unstable linearization — e.g. the A-product chain along a
@@ -370,7 +380,7 @@ class RTIEngine:
         stats = SolverStats(
             cost=self.nonlinear_cost(new_state, yref, yref_e, mods),
             kkt_res=kkt,
-            sqp_iter=jnp.array(1, dtype=jnp.int32),
+            sqp_iter=jnp.array(self.sqp_iters, dtype=jnp.int32),
             qp_iter=jnp.array(self.newton_iters, dtype=jnp.int32),
             status=jnp.where(bad, 3, 0).astype(jnp.int32),
         )
