@@ -81,3 +81,26 @@ def test_statistics_vs_golden(golden_nmpc_log):
     o_u = np.array(log.simU)
     assert np.abs(o_u[:, 1]).max() <= 0.322 + 1e-9
     assert np.abs(o_u[:, 0]).max() < 3.0 * max(np.abs(g_u[:, 0]).max(), 1.0)
+
+
+@pytest.mark.parametrize("track", ["modena", "lvms"])
+def test_nominal_tracks_other_tracks(track):
+    """BASELINE.md targets all three reference tracks; Monteblanco is covered
+    above, Modena/LVMS here (short horizon, CPU)."""
+    n = 150
+    sim_cfg = SimConfig(
+        sim_mode=0,
+        T=n * 0.02,
+        track_file=f"track_{track}.json",
+        ref_traj_file=f"reftraj_{track}_edgar.json",
+    )
+    carry, log, *_ = _run(sim_cfg, MPCConfig(), n)
+    status = np.array(log.simSolverDebug[:, 4])
+    assert np.all(status == 0)
+    # Corner severity differs per track: Modena's first corner arrives during
+    # the jerk-limited cold-start braking (a(0)=0 vs ref_acc<0 — the
+    # reference's model shares this start) and peaks near 1.0 m; the
+    # reference's own Modena usage (RL training) tolerates lat_dev < 2.0 m
+    # (rl_config.yaml max_lat_dev). Full-lap statistics: docs/RESULTS.md.
+    assert float(jnp.max(jnp.abs(log.lat_dev))) < 1.2
+    assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9

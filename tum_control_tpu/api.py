@@ -77,13 +77,12 @@ def build_simulation(sim_cfg: SimConfig, mpc_cfg: MPCConfig, config_path: str = 
     """Returns (sim, x0_mpc, x0_sim, traj, track)."""
     config_path = config_path or cfg_mod.DEFAULT_CONFIG_PATH
     controller = build_controller(mpc_cfg, sim_cfg, config_path)
-    traj = load_ref_trajectory(
-        os.path.join(sim_cfg.trajectory_path, sim_cfg.ref_traj_file)
-    )
+    ref_traj_path = os.path.join(sim_cfg.trajectory_path, sim_cfg.ref_traj_file)
+    traj = load_ref_trajectory(ref_traj_path)
     track = load_track(os.path.join(sim_cfg.trajectory_path, sim_cfg.track_file))
     vp_sim = load_vehicle_params(config_path, sim_cfg.veh_params_file_simulator)
     tp_sim = load_tire_params(config_path, sim_cfg.tire_params_file_simulator)
-    x0_mpc, x0_sim = initial_state(traj, sim_cfg.idx_ref_start)
+    x0_mpc, x0_sim = initial_state(ref_traj_path, sim_cfg.idx_ref_start)
 
     dist_deriv = disturbance_config(
         sim_cfg.disturbance_type_derivatives,

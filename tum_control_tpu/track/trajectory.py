@@ -117,15 +117,22 @@ def load_track(path: str) -> Track:
     )
 
 
-def initial_state(traj: RefTrajectory, idx_ref_start: int):
+def initial_state(path: str, idx_ref_start: int):
     """Initial MPC (8-dim) and plant (7-dim) states from a trajectory point.
 
     Mirrors Utils/SimulationMode_main_class.py:44-66,103: pose from the start
     index, vlong = ref_v, vlat = yawrate = delta_f = a = 0.
+
+    Reads the JSON host-side: device->host fetches of tiny slices are
+    pathologically slow on tunneled-accelerator setups (measured ~75 s per
+    fetch), while a host JSON parse is milliseconds.
     """
-    px, py = np.array(traj.pos[idx_ref_start])
-    yaw = postprocess_yaw(float(traj.yaw[idx_ref_start]))
-    v = float(traj.v[idx_ref_start])
+    with open(path, "r") as fh:
+        raw = json.load(fh)
+    px = float(raw["pos_x"][idx_ref_start])
+    py = float(raw["pos_y"][idx_ref_start])
+    yaw = float(postprocess_yaw(np.float64(raw["ref_yaw"][idx_ref_start])))
+    v = float(raw["ref_v"][idx_ref_start])
     x0_mpc = np.array([px, py, yaw, v, 0.0, 0.0, 0.0, 0.0])
     x0_sim = np.array([px, py, yaw, v, 0.0, 0.0, 0.0])
     return x0_mpc, x0_sim
