@@ -63,3 +63,25 @@ def test_checkpoint_roundtrip(tmp_path):
     out = load_pytree(path, jax.tree.map(jnp.zeros_like, tree))
     np.testing.assert_allclose(np.asarray(out["w"]), np.arange(6.0).reshape(2, 3))
     assert int(out["step"]) == 7
+
+
+def test_offline_plot_suite(tmp_path):
+    """All reference evaluation figures render from an assembled log
+    (plotRes/BoxPlots/plotMPCperf incl. track heatmaps/plotTrackSim/
+    gg diagram/state errors — Utils/MPC_sim_utils.py:268-872)."""
+    from tum_control_tpu.eval import plots
+
+    cfg = SimConfig(sim_mode=0, T=0.6)
+    sim, x0m, x0s, traj, track = build_simulation(cfg, MPCConfig())
+    _, log = jax.jit(lambda: sim.run(x0m, x0s, 30))()
+    logs = assemble_logs(log, x0m, x0s, cfg.T)
+    plots.plot_all(logs, str(tmp_path), track=track)
+    for f in (
+        "SimResults.png",
+        "SimResBoxplots.png",
+        "MPC_performance.png",
+        "TrackSim.png",
+        "GGDiagram.png",
+        "StateErrors.png",
+    ):
+        assert os.path.getsize(str(tmp_path / f)) > 5000, f
