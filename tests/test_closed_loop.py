@@ -33,6 +33,20 @@ def test_controller_tracks_monteblanco(controller):
     assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9
 
 
+def test_external_cost_closed_loop_lap():
+    """EXTERNAL ego-frame lon/lat cost with anisotropic weights tracks
+    Monteblanco closed-loop (the reference's dev_lonlat formulation,
+    NMPC_STM_acados_settings_dev_lonlat.py:71-96)."""
+    n = 150
+    sim_cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    mpc_cfg = MPCConfig(costfunction_type="EXTERNAL", q_lon=5.0, q_lat=1.5)
+    carry, log, *_ = _run(sim_cfg, mpc_cfg, n)
+    status = np.array(log.simSolverDebug[:, 4])
+    assert np.all(status == 0)
+    assert float(jnp.max(jnp.abs(log.lat_dev))) < 0.2
+    assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9
+
+
 def test_mode1_runs_and_is_finite():
     sim_cfg = SimConfig(sim_mode=1, T=2.0)
     carry, log, *_ = _run(sim_cfg, MPCConfig(), sim_cfg.Nsim)

@@ -11,9 +11,9 @@ from tum_control_tpu.models.vehicle_stm import pred_ode
 from tum_control_tpu.track.planner import RefWindow
 
 
-def _small_setup(N=8):
+def _small_setup(N=8, mpc_cfg=None):
     sim_cfg = SimConfig(Tp=N * 0.08)
-    ctrl = build_controller(MPCConfig(qp_iters=40), sim_cfg)
+    ctrl = build_controller(mpc_cfg or MPCConfig(qp_iters=40), sim_cfg)
     x0 = jnp.array([0.0, 0.0, 0.0, 20.0, 0.0, 0.0, 0.0, 0.0])
     # straight-line reference, mildly infeasible speed target
     n = N + 1
@@ -22,6 +22,29 @@ def _small_setup(N=8):
         pos=jnp.asarray(np.stack([20.0 * t + 1.0, 0.3 * np.ones(n)], 1)),
         yaw=jnp.asarray(np.zeros(n)),
         v=jnp.asarray(np.full(n, 24.0)),
+    )
+    return ctrl, x0, window
+
+
+def _curved_setup(N=8, mpc_cfg=None):
+    """Arc reference with nonzero heading so the ego-frame rotation of the
+    EXTERNAL lon/lat cost actually matters."""
+    sim_cfg = SimConfig(Tp=N * 0.08)
+    ctrl = build_controller(mpc_cfg or MPCConfig(qp_iters=40), sim_cfg)
+    yaw0 = 0.6
+    x0 = jnp.array([0.0, 0.0, yaw0, 18.0, 0.0, 0.0, 0.0, 0.0])
+    n = N + 1
+    t = np.arange(n) * 0.08
+    R = 120.0
+    dtheta = 18.0 * t / R
+    yaw = yaw0 + dtheta
+    # arc through (offset start) with curvature 1/R
+    px = 0.6 + R * (np.sin(yaw) - np.sin(yaw0))
+    py = -0.4 - R * (np.cos(yaw) - np.cos(yaw0))
+    window = RefWindow(
+        pos=jnp.asarray(np.stack([px, py], 1)),
+        yaw=jnp.asarray(yaw),
+        v=jnp.asarray(np.full(n, 19.0)),
     )
     return ctrl, x0, window
 
@@ -83,6 +106,67 @@ def test_warm_start_reaches_same_fixed_point_as_cold():
     for _ in range(25):
         st_b = solve_j(st_b)
     np.testing.assert_allclose(np.asarray(st_a.U), np.asarray(st_b.U), atol=2e-5)
+
+
+def test_external_fixed_point_stationary_anisotropic():
+    """EXTERNAL cost with q_lon != q_lat: the RTI fixed point must be
+    stationary for the *ego-frame* exact-penalty NLP (the objective of
+    NMPC_STM_acados_settings_dev_lonlat.py:71-96), i.e. the residual
+    Jacobians really enter the QP — the round-1 defect was that the solved
+    QP was still the NONLINEAR_LS one."""
+    cfg = MPCConfig(
+        qp_iters=40, costfunction_type="EXTERNAL", q_lon=5.0, q_lat=0.6
+    )
+    ctrl, x0, window = _curved_setup(mpc_cfg=cfg)
+    eng = ctrl.engine
+    assert eng.funcs.resid_stage is not None
+    yref, yref_e = ctrl.make_yref(window)
+    st = ctrl.init_state(x0)
+    solve_j = jax.jit(lambda s: eng.solve(s, x0, yref, yref_e)[1])
+    for _ in range(40):
+        st = solve_j(st)
+
+    def total_cost(Uflat):
+        U = Uflat.reshape(ctrl.N, 2)
+        X = [x0]
+        for k in range(ctrl.N):
+            X.append(eng.funcs.dyn_step(k, X[-1], U[k]))
+        X = jnp.stack(X)
+        from tum_control_tpu.ops.rti import RTIState
+
+        return eng.nonlinear_cost(RTIState(X=X, U=U, warm=st.warm), yref, yref_e)
+
+    Uf = jnp.asarray(st.U.reshape(-1))
+    g = np.asarray(jax.grad(total_cost)(Uf))
+    base = float(total_cost(Uf))
+    assert np.abs(g).max() < 1e-4 * max(1.0, base), (np.abs(g).max(), base)
+
+
+def test_external_matches_ls_when_isotropic_differs_when_not():
+    """With q_lon == q_lat the rotation is cost-invariant, so EXTERNAL and
+    NONLINEAR_LS share the NLP minimizer; with distinct lon/lat weights the
+    objectives genuinely differ and so must the fixed points (this is what
+    the dev_lonlat variant exists for)."""
+
+    def fixed_point(cfg):
+        ctrl, x0, window = _curved_setup(mpc_cfg=cfg)
+        st = ctrl.init_state(x0)
+        solve_j = jax.jit(lambda s: ctrl.solve(s, x0, window)[1])
+        for _ in range(40):
+            st = solve_j(st)
+        return np.asarray(st.U)
+
+    iso_ls = fixed_point(MPCConfig(qp_iters=40, q_lon=2.8, q_lat=2.8))
+    iso_ext = fixed_point(
+        MPCConfig(qp_iters=40, costfunction_type="EXTERNAL", q_lon=2.8, q_lat=2.8)
+    )
+    np.testing.assert_allclose(iso_ext, iso_ls, atol=5e-4)
+
+    ani_ls = fixed_point(MPCConfig(qp_iters=40, q_lon=5.0, q_lat=0.6))
+    ani_ext = fixed_point(
+        MPCConfig(qp_iters=40, costfunction_type="EXTERNAL", q_lon=5.0, q_lat=0.6)
+    )
+    assert np.abs(ani_ext - ani_ls).max() > 1e-3, "EXTERNAL ignored the lon/lat rotation"
 
 
 def test_multi_sqp_iteration_equals_repeated_rti():

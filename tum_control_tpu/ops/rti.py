@@ -225,9 +225,36 @@ class RTIEngine:
             return self.funcs.y_stage(k, xu[:nx], xu[nx:])
 
         XU = jnp.concatenate([state.X[:-1], state.U], axis=1)
-        Y = jax.vmap(y_xu)(ks, XU)                         # (N, ny)
 
-        if self.funcs.y_select is not None:
+        if self.funcs.resid_stage is not None:
+            # EXTERNAL-cost variant: the residual is a general function of
+            # (x, u, yref) — e.g. the ego-frame lon/lat deviations of
+            # NMPC_STM_acados_settings_dev_lonlat.py:71-96 — so the GN blocks
+            # come from the residual Jacobians, not from y(x,u) - yref. This
+            # takes precedence over y_select (the selection structure does
+            # not hold for a rotated residual).
+            def r_xu(k, xu, yr):
+                return self.funcs.resid_stage(k, xu[:nx], xu[nx:], yr)
+
+            Rv = jax.vmap(r_xu)(ks, XU, yref)                  # (N, ny)
+            Jr = jax.vmap(jax.jacfwd(r_xu, argnums=1))(ks, XU, yref)
+            Jyx, Jyu = Jr[:, :, :nx], Jr[:, :, nx:]
+            r0 = Rv + jnp.einsum("kij,kj->ki", Jyx, e[:N])
+            M = jnp.einsum("kij,kjz->kiz", Jyx, Gam[:N]) + jnp.einsum(
+                "kij,kjz->kiz", Jyu, self.E
+            )
+            ye = self.funcs.resid_term(state.X[N], yref_e)
+            Jye = jax.jacfwd(self.funcs.resid_term, argnums=0)(state.X[N], yref_e)
+            re0 = ye + Jye @ e[N]
+            Me = Jye @ Gam[N]
+
+            Mf = M.reshape(N * M.shape[1], nz)
+            rf = r0.reshape(-1)
+            wts = jnp.tile(W, N)
+            H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
+            g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+        elif self.funcs.y_select is not None:
+            Y = jax.vmap(y_xu)(ks, XU)                         # (N, ny)
             # selection-structured cost: y = [x[sel] (unit Jacobian), u]
             sel = tuple(self.funcs.y_select)
             sel_e = tuple(self.funcs.y_select_term)
@@ -257,6 +284,7 @@ class RTIEngine:
                 + Me.T @ (We * re0)
             )
         else:
+            Y = jax.vmap(y_xu)(ks, XU)                          # (N, ny)
             Jy = jax.vmap(jax.jacfwd(y_xu, argnums=1))(ks, XU)  # (N, ny, nx+nu)
             Jyx, Jyu = Jy[:, :, :nx], Jy[:, :, nx:]
             r0 = Y - yref + jnp.einsum("kij,kj->ki", Jyx, e[:N])
