@@ -108,6 +108,29 @@ def test_warm_start_reaches_same_fixed_point_as_cold():
     np.testing.assert_allclose(np.asarray(st_a.U), np.asarray(st_b.U), atol=2e-5)
 
 
+def test_qp_iter_stat_is_real_convergence_telemetry():
+    """simSolverDebug[:,3] must carry the *actual* IPM iteration count (the
+    HPIPM qp_iter the reference logs), not the configured maximum: a warm
+    solve at the fixed point converges in fewer iterations than the cold
+    solve, and the final duality gap collapses."""
+    ctrl, x0, window = _small_setup()
+    eng = ctrl.engine
+    yref, yref_e = ctrl.make_yref(window)
+    st = ctrl.init_state(x0)
+    solve_j = jax.jit(lambda s: eng.solve(s, x0, yref, yref_e))
+
+    _, st, stats_cold = solve_j(st)
+    for _ in range(20):
+        _, st, stats_warm = solve_j(st)
+
+    it_cold = int(np.asarray(stats_cold.qp_iter))
+    it_warm = int(np.asarray(stats_warm.qp_iter))
+    assert it_warm < it_cold, (it_cold, it_warm)
+    assert it_cold <= 40  # bounded by the configured maximum
+    assert float(np.asarray(stats_warm.gap)) < 1e-8
+    assert np.isfinite(float(np.asarray(stats_cold.gap)))
+
+
 def test_external_fixed_point_stationary_anisotropic():
     """EXTERNAL cost with q_lon != q_lat: the RTI fixed point must be
     stationary for the *ego-frame* exact-penalty NLP (the objective of

@@ -18,14 +18,18 @@ from tum_control_tpu.config import DEFAULT_TRAJECTORY_PATH
 
 
 def hysteresis(x, th_lo, th_hi, initial=False):
-    """Reference helpers.hysteresis (helpers.py:41-50)."""
-    hi = x >= th_hi
-    lo_or_hi = (x <= th_lo) | hi
-    ind = np.nonzero(lo_or_hi)[0]
-    if not ind.size:
-        return np.zeros_like(x, dtype=bool) | initial
-    cnt = np.cumsum(lo_or_hi)
-    return np.where(cnt, hi[ind[cnt - 1]], initial)
+    """Schmitt-trigger thresholding of a 1-D signal: the output switches
+    True at x >= th_hi, switches False at x <= th_lo, and holds its previous
+    value inside the dead band (th_lo, th_hi). Matches the semantics of the
+    reference's helpers.hysteresis (helpers.py:41-50); vectorized here by
+    tracking, per position, the index of the most recent decisive sample
+    with a running maximum."""
+    x = np.asarray(x)
+    set_hi = x >= th_hi
+    decisive = set_hi | (x <= th_lo)
+    # index of the latest decisive sample at or before each position (-1: none)
+    last = np.maximum.accumulate(np.where(decisive, np.arange(x.size), -1))
+    return np.where(last >= 0, set_hi[np.maximum(last, 0)], bool(initial))
 
 
 def curvature_segmentation(

@@ -60,6 +60,21 @@ WARM_MIN = 1e-3
 WARM_MAX = 1e5
 
 
+class IPMStats(NamedTuple):
+    """Actual per-solve convergence telemetry (the HPIPM `qp_iter` analog —
+    the reference logs real iteration counts, NMPC_class.py:202-206, not the
+    configured maximum).
+
+    iters: number of Newton iterations that actually updated the iterate
+           (the convergence freeze `gap <= 1e-11*nt` stops counting).
+    gap:   final duality gap (complementarity) after the last update,
+           normalized by the active-constraint count.
+    """
+
+    iters: jnp.ndarray
+    gap: jnp.ndarray
+
+
 def init_warm(nc: int, dtype=jnp.float32) -> IPMWarm:
     ones = jnp.ones(nc, dtype=dtype)
     return IPMWarm(su=ones, sl=ones, lam_u=ones, lam_l=ones, mu_u=ones, mu_l=ones)
@@ -73,11 +88,13 @@ def solve_soft_qp_ipm(
     sigma: float = 0.2,
     warm: IPMWarm = None,
     n_id: int = 0,
+    want_stats: bool = False,
 ):
     """Solve the soft QP. Returns (w, kkt_res) — or (w, kkt_res, warm_out)
-    when a warm start is supplied. `n_id` > 0 marks the last n_id constraint
-    rows as identity rows over w (see CondensedQP) — they are handled
-    analytically, never stored or multiplied."""
+    when a warm start is supplied; `want_stats=True` appends an `IPMStats`
+    (actual iterations used + final duality gap). `n_id` > 0 marks the last
+    n_id constraint rows as identity rows over w (see CondensedQP) — they
+    are handled analytically, never stored or multiplied."""
     H0, g0, G, c0, lb, ub, z1, z2 = qp
     nz = H0.shape[0]
     nc = c0.shape[0]
@@ -214,18 +231,27 @@ def solve_soft_qp_ipm(
         lam_l = upd(lam_l, dlam_l, act_l)
         mu_u = upd(mu_u, dmu_u, s_u)
         mu_l = upd(mu_l, dmu_l, s_l)
-        return (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), gap
+        return (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), ok
 
     carry = (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l)
-    carry, _ = jax.lax.scan(body, carry, None, length=n_iters)
+    carry, oks = jax.lax.scan(body, carry, None, length=n_iters)
     w = carry[0]
 
     # exact finish: a few semismooth-Newton steps from the IPM point
     w, kkt = newton_polish(qp, w, n_iters=n_polish, n_id=n_id)
+    if want_stats:
+        _, su_f, sl_f, pu_f, pl_f, lu_f, ll_f, mu_f, ml_f = carry
+        gap_f = (
+            jnp.sum(jnp.where(act_u, lu_f * pu_f, 0.0))
+            + jnp.sum(jnp.where(act_l, ll_f * pl_f, 0.0))
+            + jnp.sum(jnp.where(s_u, mu_f * su_f, 0.0))
+            + jnp.sum(jnp.where(s_l, ml_f * sl_f, 0.0))
+        ) / nt
+        stats = IPMStats(iters=jnp.sum(oks.astype(jnp.int32)), gap=gap_f)
     if warm is None:
-        return w, kkt
+        return (w, kkt, stats) if want_stats else (w, kkt)
     warm_out = IPMWarm(
         su=carry[1], sl=carry[2], lam_u=carry[5], lam_l=carry[6],
         mu_u=carry[7], mu_l=carry[8],
     )
-    return w, kkt, warm_out
+    return (w, kkt, warm_out, stats) if want_stats else (w, kkt, warm_out)

@@ -105,8 +105,11 @@ class SolverStats(NamedTuple):
     cost: jnp.ndarray      # nonlinear cost incl. slack penalties (get_cost analog)
     kkt_res: jnp.ndarray   # inf-norm KKT residual of the QP solve
     sqp_iter: jnp.ndarray  # SQP iterations per control step (1 = RTI)
-    qp_iter: jnp.ndarray   # Newton iterations used
+    qp_iter: jnp.ndarray   # actual IPM iterations to convergence (max over
+    #                        SQP iterations) — the HPIPM qp_iter analog the
+    #                        reference logs (NMPC_class.py:202-206)
     status: jnp.ndarray    # 0 ok | 3 NaN detected (acados NAN_SOL analog)
+    gap: jnp.ndarray       # final IPM complementarity gap (normalized)
 
 
 class RTIEngine:
@@ -375,11 +378,16 @@ class RTIEngine:
         # sqp_iters = 1 is the reference's SQP_RTI; > 1 re-linearizes within
         # the control step (acados' SQP mode, full steps, no line search)
         it_state = state
+        qp_iter_max = jnp.zeros((), dtype=jnp.int32)
+        gap_last = jnp.zeros((), dtype=state.X.dtype)
         for _ in range(self.sqp_iters):
             qp, e, Gam, A_lin = self._build_qp(it_state, x0, yref, yref_e, mods, want_A=True)
-            w, kkt, warm_out = solve_soft_qp_ipm(
-                qp, n_iters=self.newton_iters, n_polish=1, warm=it_state.warm, n_id=self.nz
+            w, kkt, warm_out, ipm_stats = solve_soft_qp_ipm(
+                qp, n_iters=self.newton_iters, n_polish=1, warm=it_state.warm,
+                n_id=self.nz, want_stats=True,
             )
+            qp_iter_max = jnp.maximum(qp_iter_max, ipm_stats.iters)
+            gap_last = ipm_stats.gap.astype(gap_last.dtype)
             dX = e + jnp.einsum("kxz,z->kx", Gam, w)
             it_state = RTIState(
                 X=it_state.X + dX,
@@ -409,7 +417,8 @@ class RTIEngine:
             cost=self.nonlinear_cost(new_state, yref, yref_e, mods),
             kkt_res=kkt,
             sqp_iter=jnp.array(self.sqp_iters, dtype=jnp.int32),
-            qp_iter=jnp.array(self.newton_iters, dtype=jnp.int32),
+            qp_iter=qp_iter_max,
             status=jnp.where(bad, 3, 0).astype(jnp.int32),
+            gap=gap_last,
         )
         return U_new[0], new_state, stats, A_lin
