@@ -49,6 +49,52 @@ def test_rnmpc_one_step_delayed_tightening():
     assert np.all(np.diff(cs) >= -1e-12)
 
 
+def test_snmpc_structured_condense_equals_dense():
+    """The structured (block-sparse, two-phase) linearize+condense must be
+    numerically identical to the dense 88-dim stacked-state path — the QP is
+    the same, only the factorization of the recurrence differs."""
+    from tum_control_tpu import config as cm
+    from tum_control_tpu.config import load_gg_table, load_tire_params, load_vehicle_params
+    from tum_control_tpu.controllers.common import GGTables
+    from tum_control_tpu.controllers.snmpc import StochasticNMPC
+
+    sim_cfg = SimConfig(Tp=10 * 0.08)
+    mpc = MPCConfig(controller="snmpc")
+    vp = load_vehicle_params(cm.DEFAULT_CONFIG_PATH, sim_cfg.veh_params_file_MPC)
+    tp = load_tire_params(cm.DEFAULT_CONFIG_PATH, sim_cfg.tire_params_file_MPC)
+    gg = GGTables(*load_gg_table(cm.DEFAULT_CONFIG_PATH, mpc.lookuptable_gg_limits))
+    c_s = StochasticNMPC(mpc, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg, structured=True)
+    c_d = StochasticNMPC(mpc, sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg, structured=False)
+    assert c_s.engine.funcs.lin_condense is not None
+    assert c_d.engine.funcs.lin_condense is None
+
+    x0 = jnp.array([0.0, 0.0, 0.3, 20.0, 0.1, 0.05, 0.01, -0.5])
+    n = sim_cfg.N + 1
+    t = np.arange(n) * 0.08
+    win = RefWindow(
+        pos=jnp.asarray(
+            np.stack([20 * np.cos(0.3) * t, 20 * np.sin(0.3) * t + 0.3], 1)
+        ),
+        yaw=jnp.asarray(0.3 + 0.05 * t),
+        v=jnp.asarray(np.full(n, 21.0)),
+    )
+    st = c_d.init_state(x0)
+    for _ in range(3):
+        _, st = c_d.solve(st, x0, win)
+
+    d0 = c_d._fan(x0) - st.X[0]
+    A, B, xi = c_d.engine._linearize(st)
+    e_ref, G_ref = c_d.engine._condense(A, B, xi, d0)
+    e_st, G_st = c_s.engine.funcs.lin_condense(st.X, st.U, d0)
+    np.testing.assert_allclose(np.asarray(e_st), np.asarray(e_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G_st), np.asarray(G_ref), atol=1e-12)
+
+    u_d, st_d, _ = c_d.engine.solve(st, c_d._fan(x0), *c_d.make_yref(win))
+    u_s, st_s, _ = c_s.engine.solve(st, c_s._fan(x0), *c_s.make_yref(win))
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_d), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_s.X), np.asarray(st_d.X), atol=1e-12)
+
+
 def test_snmpc_uph_freeze_semantics():
     sim_cfg = SimConfig()
     ctrl = build_controller(MPCConfig(controller="snmpc"), sim_cfg)

@@ -26,6 +26,8 @@ the kernel.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import custom_batching
@@ -249,6 +251,172 @@ def _fast_ok(A):
         and A.dtype == jnp.float32
         and A.shape[2] <= MAX_NX_FAST
     )
+
+
+# ---------------------------------------------------------------------------
+# general-initial-carry variant: condense a stage SUB-RANGE starting from an
+# existing (e0, Gamma0) carry, with the input-selector columns offset by a
+# static col0 into a wider nz. This is the building block of SNMPC's
+# structured condensing (controllers/snmpc.py): beyond the uncertainty
+# propagation horizon only the nominal 8-dim block evolves, so those stages
+# run through this kernel instead of the 88-dim stacked scan.
+# ---------------------------------------------------------------------------
+def condense_scan_from_ref(A, B, xi, e0, G0, col0: int):
+    """(N2,nx,nx),(N2,nx,nu),(N2,nx),(nx,),(nx,nz) -> e (N2+1,nx), Gam
+    (N2+1,nx,nz); entry 0 is (e0, G0); stage t's B maps to columns
+    col0 + t*nu .. col0 + (t+1)*nu."""
+    N2, nx, nu = B.shape
+    nz = G0.shape[1]
+    cols = jnp.arange(nz)
+
+    def body(carry, inp):
+        e, Gam = carry
+        A_k, B_k, xi_k, t = inp
+        e_n = A_k @ e + xi_k
+        mask = (cols >= col0 + t * nu) & (cols < col0 + (t + 1) * nu)
+        E_k = jnp.where(
+            mask[None, :], B_k[:, jnp.clip(cols - col0 - t * nu, 0, nu - 1)], 0.0
+        )
+        Gam_n = A_k @ Gam + E_k
+        return (e_n, Gam_n), (e_n, Gam_n)
+
+    (_, _), (e_tail, Gam_tail) = jax.lax.scan(
+        body, (e0, G0), (A, B, xi, jnp.arange(N2))
+    )
+    e = jnp.concatenate([e0[None], e_tail], axis=0)
+    Gam = jnp.concatenate([G0[None], Gam_tail], axis=0)
+    return e, Gam
+
+
+def _make_kernel_from(nx: int, nu: int, nz: int, C: int, col0: int):
+    """Like _make_kernel but with an (e0, G0) initial carry and a static
+    column offset for the B-selector writes."""
+
+    def kernel(a_ref, b_ref, xi_ref, e0_ref, g0_ref, e_ref, gam_ref, ce, cg):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            ce[...] = e0_ref[0]
+            cg[...] = g0_ref[0]
+
+        e = ce[...]          # (nx, L)
+        gam = cg[...]        # (nx, nz, L)
+        colid = jax.lax.broadcasted_iota(jnp.int32, (1, nz, 1), 1)
+        base = col0 + j * C * nu
+        for t in range(C):
+            e_ref[0, t] = e
+            gam_ref[0, t] = gam
+            A = a_ref[0, t]      # (nx, nx, L)
+            Bt = b_ref[0, t]     # (nx, nu, L)
+            xi = xi_ref[0, t]    # (nx, L)
+            e = jnp.sum(A * e[None, :, :], axis=1) + xi
+            acc = A[:, 0, :][:, None, :] * gam[0][None, :, :]
+            for m in range(1, nx):
+                acc = acc + A[:, m, :][:, None, :] * gam[m][None, :, :]
+            for q in range(nu):
+                mask = colid == base + t * nu + q
+                acc = acc + jnp.where(mask, Bt[:, q, :][:, None, :], 0.0)
+            gam = acc
+        ce[...] = e
+        cg[...] = gam
+
+    return kernel
+
+
+def _condense_tpu_from(A, B, xi, e0, G0, col0: int):
+    """Batched init-carry condensing (batch-in-lanes). A (Bt,N2,nx,nx),
+    e0 (Bt,nx), G0 (Bt,nx,nz) -> e (Bt,N2+1,nx), Gam (Bt,N2+1,nx,nz)."""
+    Bt_, N2, nx, nu = B.shape
+    nz = G0.shape[2]
+    C = max(1, min(8, 64 // max(nx, 1)))
+    Npad = -(-(N2 + 1) // C) * C
+    Bp = -(-Bt_ // LANES) * LANES
+    G = Bp // LANES
+
+    def pad_b(a):
+        if Bp != Bt_:
+            a = jnp.concatenate(
+                [a, jnp.zeros((Bp - Bt_,) + a.shape[1:], a.dtype)], axis=0
+            )
+        return a
+
+    def pad_n(a):
+        if Npad != N2:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], Npad - N2) + a.shape[2:], a.dtype)],
+                axis=1,
+            )
+        return a
+
+    At = jnp.transpose(pad_n(pad_b(A)).reshape(G, LANES, Npad, nx, nx), (0, 2, 3, 4, 1))
+    Bt = jnp.transpose(pad_n(pad_b(B)).reshape(G, LANES, Npad, nx, nu), (0, 2, 3, 4, 1))
+    xit = jnp.transpose(pad_n(pad_b(xi)).reshape(G, LANES, Npad, nx), (0, 2, 3, 1))
+    e0t = jnp.transpose(pad_b(e0).reshape(G, LANES, nx), (0, 2, 1))
+    g0t = jnp.transpose(pad_b(G0).reshape(G, LANES, nx, nz), (0, 2, 3, 1))
+
+    grid = (G, Npad // C)
+    e_t, gam_t = pl.pallas_call(
+        _make_kernel_from(nx, nu, nz, C, col0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, C, nx, nx, LANES), lambda g, j: (g, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, nx, nu, LANES), lambda g, j: (g, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, nx, LANES), lambda g, j: (g, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nx, LANES), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nx, nz, LANES), lambda g, j: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, nx, LANES), lambda g, j: (g, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, nx, nz, LANES), lambda g, j: (g, j, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Npad, nx, LANES), A.dtype),
+            jax.ShapeDtypeStruct((G, Npad, nx, nz, LANES), A.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nx, LANES), A.dtype),
+            pltpu.VMEM((nx, nz, LANES), A.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(At, Bt, xit, e0t, g0t)
+
+    e = jnp.transpose(e_t, (0, 3, 1, 2)).reshape(Bp, Npad, nx)[:Bt_, : N2 + 1]
+    Gam = jnp.transpose(gam_t, (0, 4, 1, 2, 3)).reshape(Bp, Npad, nx, nz)[
+        :Bt_, : N2 + 1
+    ]
+    return e, Gam
+
+
+@functools.lru_cache(maxsize=None)
+def _condense_scan_from_factory(col0: int):
+    @custom_batching.custom_vmap
+    def fn(A, B, xi, e0, G0):
+        return condense_scan_from_ref(A, B, xi, e0, G0, col0)
+
+    @fn.def_vmap
+    def _vmap(axis_size, in_batched, A, B, xi, e0, G0):
+        bc = lambda x, b: x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        A, B, xi, e0, G0 = (
+            bc(v, b) for v, b in zip((A, B, xi, e0, G0), in_batched)
+        )
+        if _fast_ok(A):
+            e, Gam = _condense_tpu_from(A, B, xi, e0, G0, col0)
+        else:
+            e, Gam = jax.vmap(
+                lambda a, b, x, e_, g_: condense_scan_from_ref(a, b, x, e_, g_, col0)
+            )(A, B, xi, e0, G0)
+        return (e, Gam), (True, True)
+
+    return fn
+
+
+def condense_scan_from(A, B, xi, e0, G0, col0: int):
+    """Init-carry condense over a stage sub-range (batched rule -> Pallas
+    lanes kernel). `col0` must be a static python int."""
+    return _condense_scan_from_factory(int(col0))(A, B, xi, e0, G0)
 
 
 @custom_batching.custom_vmap

@@ -60,6 +60,13 @@ class OCPFunctions(NamedTuple):
     # ((N, nx+nu) -> (F (N, nx), J (N, nx, nx+nu))), e.g. the Pallas kernel
     # from ops/pallas_kernels/linearize.py. Takes priority over dyn_jac.
     lin_rollout: Callable = None
+    # optional fused linearize+condense replacing BOTH _linearize and
+    # _condense: (X (N+1,nx), U (N,nu), d0 (nx,)) -> (e (N+1,nx),
+    # Gam (N+1,nx,nz)). Used by structure-exploiting controllers (SNMPC's
+    # block-sparse stacked state) where materializing the full (nx, nx)
+    # stage sensitivities would waste FLOPs/HBM. Controllers using this hook
+    # do not receive A_lin from solve_full (returned as zeros).
+    lin_condense: Callable = None
     # optional cost-structure hint: when y_stage(k, x, u) == [g(x[sel]), u]
     # with unit diagonal Jacobian on the selected states (true for the
     # NONLINEAR_LS formulations: g is at most a yaw rewrap whose derivative
@@ -219,9 +226,13 @@ class RTIEngine:
         W, We, con_lb, con_ub, con_z1, con_z2, u_lb, u_ub, u_z1, u_z2 = self._merged(mods)
         N, nx, nu, nz = self.N, self.nx, self.nu, self.nz
         ks = jnp.arange(N)
-        A, B, xi = self._linearize(state)
         d0 = x0 - state.X[0]
-        e, Gam = self._condense(A, B, xi, d0)
+        if self.funcs.lin_condense is not None:
+            e, Gam = self.funcs.lin_condense(state.X, state.U, d0)
+            A = jnp.zeros((N, nx, nx), dtype=state.X.dtype)  # not materialized
+        else:
+            A, B, xi = self._linearize(state)
+            e, Gam = self._condense(A, B, xi, d0)
 
         # --- Gauss-Newton cost ---
         def y_xu(k, xu):
