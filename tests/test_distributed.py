@@ -1,0 +1,66 @@
+"""Real multi-process distributed execution: 2 OS processes x 4 virtual CPU
+devices each, stitched by jax.distributed into one 8-device global mesh
+running the sharded closed loop (the multi-host TPU path of SURVEY.md §5.8,
+exercised without a cluster per §4:308-310).
+
+Both processes must complete, agree bitwise on the globally-reduced metric,
+and report every solver status ok.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(600)
+def test_two_process_cpu_mesh_closed_loop():
+    port = _free_port()
+    nproc = 2
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(nproc), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out
+        _, mean_lat, ok, ndev = lines[-1].split()
+        results.append((mean_lat, int(ok), int(ndev)))
+
+    # both processes saw the full 8-device mesh
+    assert all(r[2] == 8 for r in results), results
+    # bitwise-identical global reduction on both processes
+    assert results[0][0] == results[1][0], results
+    # all 8 scenarios x 3 steps solved ok
+    assert all(r[1] == 8 * 3 for r in results), results
+    assert float(results[0][0]) < 1.0
