@@ -52,7 +52,16 @@ def main():
         f"N={sim_cfg.N} Nsim={n_steps} track={sim_cfg.track_file}"
     )
 
-    run = jax.jit(lambda key: sim.run(x0_mpc, x0_sim, n_steps, key=key))
+    playback = None
+    if sim_cfg.disturbance_playback and sim_cfg.playback_log_file:
+        from tum_control_tpu.sim.disturbances import load_playback
+
+        playback = load_playback(args.logs_path, sim_cfg.playback_log_file, n_steps)
+        print(f"replaying disturbances from {sim_cfg.playback_log_file}")
+
+    run = jax.jit(
+        lambda key: sim.run(x0_mpc, x0_sim, n_steps, key=key, playback=playback)
+    )
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     carry, sim_log = run(key)

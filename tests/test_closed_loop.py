@@ -78,6 +78,65 @@ def test_log_assembly_shapes():
     assert np.all(logs["CiLX"][:, 2] >= 0) and np.all(logs["CiLX"][:, 2] < 2 * np.pi)
 
 
+def test_playback_from_log_file_roundtrip(tmp_path):
+    """Record a disturbed run to full_logs.npz, replay the realization from
+    the file (reference sim_main_params.yaml:44-48 / MPC_sim_utils.py:39-45):
+    the replayed disturbances and plant trace match the recording exactly."""
+    from tum_control_tpu.api import build_simulation as build
+    from tum_control_tpu.eval.logger import save_logs
+    from tum_control_tpu.sim.disturbances import load_playback
+
+    n = 40
+    rec_cfg = SimConfig(
+        sim_mode=0, T=n * 0.02, simulate_disturbances=True,
+        simulate_state_estimation=True,
+    )
+    sim, x0m, x0s, *_ = build(rec_cfg, MPCConfig())
+    _, log_rec = jax.jit(
+        lambda: sim.run(x0m, x0s, n, key=jax.random.PRNGKey(3))
+    )()
+    logs = assemble_logs(log_rec, x0m, x0s, rec_cfg.T)
+    path = tmp_path / "full_logs.npz"
+    save_logs(logs, str(path))
+
+    play_cfg = SimConfig(
+        sim_mode=0, T=n * 0.02, simulate_disturbances=True,
+        simulate_state_estimation=True, disturbance_playback=True,
+        playback_log_file="full_logs.npz",
+    )
+    sim_p, x0m_p, x0s_p, *_ = build(play_cfg, MPCConfig())
+    playback = load_playback(str(tmp_path), "full_logs.npz", n)
+    _, log_play = jax.jit(
+        lambda: sim_p.run(x0m_p, x0s_p, n, key=jax.random.PRNGKey(99), playback=playback)
+    )()
+    np.testing.assert_array_equal(
+        np.array(log_play.dist_deriv), np.array(log_rec.dist_deriv)
+    )
+    np.testing.assert_array_equal(
+        np.array(log_play.dist_se), np.array(log_rec.dist_se)
+    )
+    # identical disturbances -> identical closed loop despite a different key
+    np.testing.assert_allclose(
+        np.array(log_play.CiLX), np.array(log_rec.CiLX), atol=1e-12
+    )
+
+
+def test_monteblanco_30s_quality_regression():
+    """Falsifiable full-scale quality gate on CPU (VERDICT r1 #8): 30 s of
+    Monteblanco must track with dev_lat mean < 0.25 m, max < 1.0 m, and 100%
+    solver success — the claims docs/RESULTS.md makes from hardware runs,
+    re-verifiable in CI."""
+    n = 1500
+    sim_cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    carry, log, *_ = _run(sim_cfg, MPCConfig(), n)
+    status = np.array(log.simSolverDebug[:, 4])
+    lat = np.abs(np.array(log.lat_dev))
+    assert np.all(status == 0)
+    assert lat.mean() < 0.25, lat.mean()
+    assert lat.max() < 1.0, lat.max()
+    assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9
+
+
 @pytest.mark.golden
 def test_statistics_vs_golden(golden_nmpc_log):
     """First 15 s of the nominal no-disturbance run vs the golden ACC24 log:

@@ -52,3 +52,26 @@ def draw_disturbance(cfg: DisturbanceConfig, key):
     if cfg.kind == TYPE_GAUSSIAN:
         return cfg.magnitudes * jax.random.normal(key, (n,))
     return cfg.magnitudes  # absolute
+
+
+def load_playback(logs_path: str, log_file: str, n_steps: int):
+    """Load a recorded disturbance realization from a previous run's
+    full_logs.npz for replay (reference sim_main_params.yaml:44-48 /
+    MPC_sim_utils.py:39-45: arrays `sim_disturbance_derivatives` and
+    `sim_disturbance_state_estimation`). Returns (w_deriv, w_se) of shape
+    (n_steps, 7), zero-padded if the recording is shorter."""
+    import os
+
+    import numpy as np
+
+    path = log_file if os.path.isabs(log_file) else os.path.join(logs_path, log_file)
+    data = np.load(path)
+    out = []
+    for name in ("sim_disturbance_derivatives", "sim_disturbance_state_estimation"):
+        w = np.asarray(data[name])[:n_steps]
+        if w.shape[0] < n_steps:
+            w = np.concatenate(
+                [w, np.zeros((n_steps - w.shape[0], w.shape[1]), w.dtype)]
+            )
+        out.append(jnp.asarray(w[:, :7]))
+    return tuple(out)
