@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true", help="tiny sizes, 2 updates")
+    ap.add_argument("--cont", dest="cont", default=None, metavar="DIR",
+                    help="continue training from DIR/policy_weights.npz "
+                         "(reference rl_training.py '-cont' resume)")
+    ap.add_argument("--eval-freq", type=int, default=5,
+                    help="updates between EvalCallback evaluations")
     args = ap.parse_args()
 
     if args.cpu:
@@ -58,29 +63,30 @@ def main():
         batch_size=8 if args.smoke else 4096,
         n_epochs=2 if args.smoke else 5,
     )
+    from tum_control_tpu.learn.policy import load_sb3_policy, save_policy_npz
+    from tum_control_tpu.learn.ppo import EvalCallback
+
     trainer = PPOTrainer(env, ppo_cfg, seed=args.seed)
+    if args.cont:
+        cont_path = os.path.join(args.cont, "policy_weights.npz")
+        trainer.policy = load_sb3_policy(cont_path)
+        print(f"continuing from {cont_path}")
     n_updates = args.updates or (
         2 if args.smoke else max(ppo_cfg.total_steps // (ppo_cfg.n_envs * ppo_cfg.n_steps), 1)
     )
-    print(f"training: {n_updates} updates x {ppo_cfg.n_envs} envs x {ppo_cfg.n_steps} steps")
-    trainer.train(n_updates, key=jax.random.PRNGKey(args.seed))
-
     os.makedirs(args.out, exist_ok=True)
-    # save in the same npz layout as converted SB3 checkpoints
-    p = trainer.policy
-    arrs = {}
-    for i, (w, b) in enumerate(zip(p.pi_w, p.pi_b)):
-        arrs[f"mlp_extractor__policy_net__{2*i}__weight"] = np.asarray(w).T
-        arrs[f"mlp_extractor__policy_net__{2*i}__bias"] = np.asarray(b)
-    for i, (w, b) in enumerate(zip(p.vf_w, p.vf_b)):
-        arrs[f"mlp_extractor__value_net__{2*i}__weight"] = np.asarray(w).T
-        arrs[f"mlp_extractor__value_net__{2*i}__bias"] = np.asarray(b)
-    arrs["action_net__weight"] = np.asarray(p.act_w).T
-    arrs["action_net__bias"] = np.asarray(p.act_b)
-    arrs["value_net__weight"] = np.asarray(p.val_w).T
-    arrs["value_net__bias"] = np.asarray(p.val_b)
-    np.savez(os.path.join(args.out, "policy_weights.npz"), **arrs)
-    print(f"saved policy to {args.out}/policy_weights.npz")
+    callback = EvalCallback(
+        trainer, args.out, eval_freq=1 if args.smoke else args.eval_freq,
+        n_envs=2 if args.smoke else None, n_steps=4 if args.smoke else None,
+    )
+    print(f"training: {n_updates} updates x {ppo_cfg.n_envs} envs x {ppo_cfg.n_steps} steps")
+    trainer.train(n_updates, key=jax.random.PRNGKey(args.seed), callback=callback)
+
+    # final policy in the converted-SB3 npz layout; best policy (by eval
+    # reward) under best_model/ — the reference's artifact of record
+    save_policy_npz(trainer.policy, os.path.join(args.out, "policy_weights.npz"))
+    print(f"saved final policy to {args.out}/policy_weights.npz; "
+          f"best eval reward {callback.best:.4f} -> {args.out}/best_model/")
 
 
 if __name__ == "__main__":

@@ -154,3 +154,47 @@ def test_wmpc_wraps_rnmpc_closed_loop():
     np.testing.assert_allclose(
         np.asarray(extra.W), [p[0], p[0], p[1], p[2], p[3], p[4]]
     )
+
+
+def test_policy_npz_roundtrip(tmp_path):
+    """save_policy_npz must be the exact inverse of load_sb3_policy, so
+    trained and converted checkpoints are interchangeable artifacts."""
+    import jax
+
+    from tum_control_tpu.learn.policy import init_mlp_policy, save_policy_npz
+
+    p = init_mlp_policy(jax.random.PRNGKey(0), obs_dim=22, n_actions=26)
+    path = str(tmp_path / "policy_weights.npz")
+    save_policy_npz(p, path)
+    q = load_sb3_policy(path)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_callback_saves_best(tmp_path):
+    """EvalCallback: keeps the best-by-eval-reward checkpoint + history
+    (reference SB3 EvalCallback semantics, rl_training.py:102-166)."""
+    import jax
+
+    from tum_control_tpu.learn.policy import init_mlp_policy, load_sb3_policy as load
+    from tum_control_tpu.learn.ppo import EvalCallback
+
+    p1 = init_mlp_policy(jax.random.PRNGKey(1), obs_dim=4, n_actions=3)
+    p2 = init_mlp_policy(jax.random.PRNGKey(2), obs_dim=4, n_actions=3)
+
+    class FakeTrainer:
+        rewards = iter([0.5, 0.9, 0.7])
+
+        def evaluate(self, policy, key, n_envs=None, n_steps=None):
+            return next(self.rewards)
+
+    cb = EvalCallback(FakeTrainer(), str(tmp_path), eval_freq=1)
+    cb(0, p1, {})
+    cb(1, p2, {})   # best (0.9) -> saves p2
+    cb(2, p1, {})   # worse -> keeps p2
+    assert cb.best == 0.9
+    best = load(str(tmp_path / "best_model" / "policy_weights.npz"))
+    np.testing.assert_array_equal(np.asarray(best.act_w), np.asarray(p2.act_w))
+    ev = np.load(str(tmp_path / "evaluations.npz"))
+    np.testing.assert_array_equal(ev["updates"], [0, 1, 2])
+    np.testing.assert_allclose(ev["mean_reward"], [0.5, 0.9, 0.7])

@@ -79,6 +79,23 @@ def load_sb3_policy(npz_path: str) -> MLPPolicy:
     )
 
 
+def save_policy_npz(policy: MLPPolicy, npz_path: str):
+    """Save in the converted-SB3 npz layout (inverse of load_sb3_policy),
+    so trained and converted checkpoints are interchangeable."""
+    arrs = {}
+    for i, (w, b) in enumerate(zip(policy.pi_w, policy.pi_b)):
+        arrs[f"mlp_extractor__policy_net__{2*i}__weight"] = np.asarray(w).T
+        arrs[f"mlp_extractor__policy_net__{2*i}__bias"] = np.asarray(b)
+    for i, (w, b) in enumerate(zip(policy.vf_w, policy.vf_b)):
+        arrs[f"mlp_extractor__value_net__{2*i}__weight"] = np.asarray(w).T
+        arrs[f"mlp_extractor__value_net__{2*i}__bias"] = np.asarray(b)
+    arrs["action_net__weight"] = np.asarray(policy.act_w).T
+    arrs["action_net__bias"] = np.asarray(policy.act_b)
+    arrs["value_net__weight"] = np.asarray(policy.val_w).T
+    arrs["value_net__bias"] = np.asarray(policy.val_b)
+    np.savez(npz_path, **arrs)
+
+
 def init_mlp_policy(key, obs_dim: int, n_actions: int, hidden=(128, 256, 128)) -> MLPPolicy:
     """Fresh orthogonal-ish initialization for training from scratch."""
     import jax

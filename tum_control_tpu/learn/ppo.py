@@ -39,6 +39,50 @@ class PPOConfig(NamedTuple):
     total_steps: int = 1_500_000
 
 
+class EvalCallback:
+    """Periodic deterministic evaluation + best-model checkpointing (the
+    reference's SB3 EvalCallback wiring, rl_training.py:102-166): every
+    `eval_freq` updates the current policy is evaluated from fixed reset
+    keys; a new best mean reward saves `best_model/policy_weights.npz`
+    under `out_dir`, and `evaluations.npz` accumulates the history."""
+
+    def __init__(self, trainer, out_dir: str, eval_freq: int = 5, seed: int = 123,
+                 n_envs: int = None, n_steps: int = None):
+        import os
+
+        self.trainer = trainer
+        self.out_dir = out_dir
+        self.eval_freq = max(1, eval_freq)
+        self.key = jax.random.PRNGKey(seed)  # fixed: comparable across evals
+        self.n_envs, self.n_steps = n_envs, n_steps
+        self.best = -np.inf
+        self.history = []
+        os.makedirs(os.path.join(out_dir, "best_model"), exist_ok=True)
+
+    def __call__(self, update, policy, metrics):
+        import os
+
+        if update % self.eval_freq:
+            return
+        from tum_control_tpu.learn.policy import save_policy_npz
+
+        r = self.trainer.evaluate(policy, self.key, self.n_envs, self.n_steps)
+        self.history.append((update, r))
+        np.savez(
+            os.path.join(self.out_dir, "evaluations.npz"),
+            updates=np.array([h[0] for h in self.history]),
+            mean_reward=np.array([h[1] for h in self.history]),
+        )
+        marker = ""
+        if r > self.best:
+            self.best = r
+            save_policy_npz(
+                policy, os.path.join(self.out_dir, "best_model", "policy_weights.npz")
+            )
+            marker = " (new best, saved)"
+        print(f"eval @ update {update}: mean reward {r:.4f}{marker}", flush=True)
+
+
 class Transition(NamedTuple):
     obs: jnp.ndarray
     action: jnp.ndarray
@@ -175,6 +219,31 @@ class PPOTrainer:
         return policy, opt_state, es, obs, key, metrics
 
     # ------------------------------------------------------------------
+    def evaluate(self, policy, key, n_envs: int = None, n_steps: int = None):
+        """Deterministic-policy evaluation from fixed reset keys: mean reward
+        per env-step over a fixed horizon (the EvalCallback metric,
+        reference rl_training.py:102-166 / SB3 EvalCallback)."""
+        n_envs = n_envs or self.cfg.n_envs
+        n_steps = n_steps or min(self.cfg.n_steps, 128)
+        if not hasattr(self, "_eval_fn") or self._eval_shape != (n_envs, n_steps):
+            self._eval_shape = (n_envs, n_steps)
+
+            def run(policy, key):
+                keys = jax.random.split(key, n_envs)
+                es, obs = jax.vmap(self.env.reset)(keys)
+
+                def step(carry, _):
+                    es, obs = carry
+                    action = jnp.argmax(policy.logits(obs), axis=-1)
+                    es, obs, reward, done = jax.vmap(self.env.step)(es, action)
+                    return (es, obs), reward
+
+                _, rewards = jax.lax.scan(step, (es, obs), None, length=n_steps)
+                return rewards.mean()
+
+            self._eval_fn = jax.jit(run)
+        return float(self._eval_fn(policy, key))
+
     def train(self, n_updates: int, key=None, log_every: int = 1, callback=None):
         key = jax.random.PRNGKey(1) if key is None else key
         key, ke = jax.random.split(key)
