@@ -123,3 +123,59 @@ def test_snmpc_constraint_is_nominal_beyond_uph():
     h_nom = np.asarray(f.con_stage(uph, stacked))
     # chance-constraint surrogate adds the kappa*sigma margin -> tighter value
     assert h_cc[0] > h_nom[0]
+
+
+def test_full_zoro_augmented_model():
+    """Full-ZoRo augmented model (robust_utils): packed-symmetric round
+    trip, Lyapunov covariance growth consistent with the discrete
+    P_propagation of the reduced controller, and UPH freeze semantics
+    (reference Robust_NMPC_pred_model_utils.py:47-183)."""
+    from tum_control_tpu import config as cm
+    from tum_control_tpu.config import load_tire_params, load_vehicle_params
+    from tum_control_tpu.controllers import robust_utils as ru
+    from tum_control_tpu.models.vehicle_stm import pred_ode
+
+    sim_cfg = SimConfig()
+    vp = load_vehicle_params(cm.DEFAULT_CONFIG_PATH, sim_cfg.veh_params_file_MPC)
+    tp = load_tire_params(cm.DEFAULT_CONFIG_PATH, sim_cfg.tire_params_file_MPC)
+    f = lambda x, u: pred_ode(x, u, vp, tp)
+
+    # vec <-> sym round trip
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(8, 8))
+    M = M + M.T
+    np.testing.assert_allclose(
+        np.asarray(ru.vec2sym_mat(ru.sym_mat2vec(jnp.asarray(M)))), M, atol=1e-14
+    )
+
+    dt = 0.08
+    W = jnp.asarray(np.diag([0.01, 0.8, 0.35, 0.035]) ** 2)
+    step = ru.make_aug_step(f, W, dt, substeps=8)
+    x0 = jnp.asarray([0.0, 0.0, 0.2, 18.0, 0.05, 0.02, 0.01, 0.3])
+    Sigma0 = jnp.asarray(np.diag([1e-5, 1e-5, 1e-4, 0.4, 0.17, 0.017, 1e-5, 1e-5]) ** 2)
+    xa = ru.aug_initial_state(x0, Sigma0)
+    u = jnp.asarray([0.2, 0.01])
+
+    xa1 = step(xa, u, 0.0)
+    Sigma1 = np.asarray(ru.vec2sym_mat(xa1[8:]))
+    # nominal part matches the plain model integration
+    from tum_control_tpu.models.integrators import rk4_multistep
+
+    x1_plain = rk4_multistep(f, x0, u, dt, 8)
+    np.testing.assert_allclose(np.asarray(xa1[:8]), np.asarray(x1_plain), atol=1e-10)
+    # symmetric and PSD-ish
+    np.testing.assert_allclose(Sigma1, Sigma1.T, atol=1e-12)
+    assert np.linalg.eigvalsh(Sigma1).min() > -1e-12
+
+    # consistency with the reduced controller's discrete propagation
+    # Sigma' ~ A_d Sigma A_d' + dt * B W B' to O(dt^2)
+    A_d = np.asarray(jax.jacfwd(lambda xx: rk4_multistep(f, xx, u, dt, 8))(x0))
+    B = ru.B_SEL
+    Sigma_disc = A_d @ np.asarray(Sigma0) @ A_d.T + dt * (B @ np.asarray(W) @ B.T)
+    scale = max(np.abs(Sigma_disc).max(), 1e-12)
+    assert np.abs(Sigma1 - Sigma_disc).max() / scale < 0.05
+
+    # UPH freeze: stop_flag = 1 keeps Sigma constant while x propagates
+    xa_frozen = step(xa, u, 1.0)
+    np.testing.assert_allclose(np.asarray(xa_frozen[8:]), np.asarray(xa[8:]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(xa_frozen[:8]), np.asarray(x1_plain), atol=1e-10)
