@@ -109,9 +109,12 @@ class RLEnv:
         v0 = traj.v[ridx]
         zero = jnp.zeros((), px.dtype)
         x0m = jnp.stack([px[0], px[1], yaw0, v0, zero, zero, zero, zero])
+        ctrl = self.sim.controller
         carry = SimCarry(
-            ctrl_state=self.sim.controller.init_state(x0m),
-            extra=None,
+            ctrl_state=ctrl.init_state(x0m),
+            # extra-carrying bases (R2NMPC corrections, WMPC policy state)
+            # propagate through training rollouts too, not just inference
+            extra=ctrl.init_extra() if hasattr(ctrl, "init_extra") else None,
             x_sim=x0m[:7],
             x_dist=x0m[:7],
             x_est=x0m,

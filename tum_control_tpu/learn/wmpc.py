@@ -96,19 +96,24 @@ class WMPCController:
             u_z2=jnp.where(soft_u, extra.L2, eng.u_z2),
         )
 
-    def solve_with_extra(self, state, extra: WMPCExtra, x0, ref_window):
+    def solve_with_extra(self, state, extra: WMPCExtra, x0, ref_window, mods=None):
         # A base with its own extra state (R2NMPC: carried constraint
         # tightening) composes: our weight mods merge with its bound mods,
         # matching the reference R2 class where both blocks coexist
-        # (Reduced_Robustified_NMPC_class.py:205-246, 373-405).
+        # (Reduced_Robustified_NMPC_class.py:205-246, 373-405). Externally
+        # supplied `mods` fields (e.g. an RL env's per-step overrides) take
+        # precedence over the policy's own weight mods where both are set.
+        own = self._mods(extra)
+        if mods is not None:
+            own = own._replace(
+                **{k: v for k, v in mods._asdict().items() if v is not None}
+            )
         if hasattr(self.base, "solve_with_extra"):
             out, new_state, new_base = self.base.solve_with_extra(
-                state, extra.base, x0, ref_window, mods=self._mods(extra)
+                state, extra.base, x0, ref_window, mods=own
             )
         else:
-            out, new_state = self.base.solve(
-                state, x0, ref_window, mods=self._mods(extra)
-            )
+            out, new_state = self.base.solve(state, x0, ref_window, mods=own)
             new_base = None
 
         # --- weight update check (solve() tail in the reference) ---

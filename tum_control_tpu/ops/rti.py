@@ -385,6 +385,16 @@ class RTIEngine:
         On a NaN solution (acados status 3) the iterate is left unchanged and
         u0 falls back to the previous first control — the caller decides how
         to re-initialize, mirroring main.py:59-61.
+
+        TPU matmul precision: the MXU's default bf16-pass f32 matmuls carry
+        ~1e-3 relative error, enough to excite a multi-meter steering weave
+        on high-speed straights (the QP's lateral subspace is nearly singular
+        there; bisected with tools/diag_precision.py — bench lat_dev p99 was
+        6-8 m before, <0.8 m after). Only the IPM's *gradient/residual*
+        matvecs need exactness (pinned in ops/soft_qp.py / ops/ipm.py):
+        noise in the normal MATRIX only perturbs Newton directions, which
+        the exact-residual iteration corrects. The Pallas kernels
+        (condense/chol/linearize) are exact f32 regardless.
         """
         # sqp_iters = 1 is the reference's SQP_RTI; > 1 re-linearizes within
         # the control step (acados' SQP mode, full steps, no line search)

@@ -36,6 +36,14 @@ import jax.numpy as jnp
 
 from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_factor_packed
 
+# Residual/gradient matvecs run f32-exact: the MXU's default bf16-pass
+# matmul noise (~1e-3 relative) on the *gradient* biases the QP solution
+# directly (multi-meter closed-loop weave on high-speed straights, see
+# RTIEngine.solve_full); noise on the normal MATRIX only perturbs the
+# Newton direction, which the iteration corrects — so matrix-matrix
+# products stay at default precision (full speed).
+HI = jax.lax.Precision.HIGHEST
+
 
 class CondensedQP(NamedTuple):
     """Soft QP data. `G` holds only the *general* constraint rows; when
@@ -58,21 +66,28 @@ class CondensedQP(NamedTuple):
 
 
 def con_mul(qp: CondensedQP, w, n_id: int = 0):
-    """Full constraint-Jacobian product [G; I] w."""
-    Gw = qp.G @ w
+    """Full constraint-Jacobian product [G; I] w (f32-exact)."""
+    Gw = jnp.dot(qp.G, w, precision=HI)
     return jnp.concatenate([Gw, w]) if n_id else Gw
 
 
 def con_tmul(qp: CondensedQP, y, n_id: int = 0):
-    """Transpose product [G; I]' y."""
+    """Transpose product [G; I]' y (f32-exact)."""
     ncg = qp.G.shape[0]
-    return qp.G.T @ y[:ncg] + y[ncg:] if n_id else qp.G.T @ y
+    Gty = jnp.dot(qp.G.T, y[:ncg] if n_id else y, precision=HI)
+    return Gty + y[ncg:] if n_id else Gty
 
 
 def con_normal(qp: CondensedQP, d, n_id: int = 0):
-    """[G; I]' diag(d) [G; I] without forming the identity block."""
+    """[G; I]' diag(d) [G; I] without forming the identity block.
+
+    The normal-matrix product needs more than single-pass bf16 (with the
+    fixed iteration budget, direction errors from a noisy H do not wash
+    out — measured multi-meter closed-loop drift), but 3-pass bf16 (HIGH,
+    ~1e-6 relative) is enough; f32-exact (HIGHEST) doubles the cost for no
+    measurable closed-loop difference."""
     ncg = qp.G.shape[0]
-    H = (qp.G * d[:ncg, None]).T @ qp.G
+    H = jnp.matmul(qp.G.T * d[None, :ncg], qp.G, precision=jax.lax.Precision.HIGH)
     if n_id:
         H = H + jnp.diag(d[ncg:])
     return H
@@ -87,7 +102,7 @@ def _penalty(qp: CondensedQP, v):
 
 
 def objective(qp: CondensedQP, w, n_id: int = 0):
-    return 0.5 * w @ (qp.H0 @ w) + qp.g0 @ w + _penalty(qp, con_mul(qp, w, n_id) + qp.c0)
+    return 0.5 * w @ jnp.dot(qp.H0, w, precision=HI) + qp.g0 @ w + _penalty(qp, con_mul(qp, w, n_id) + qp.c0)
 
 
 def solve_soft_qp(qp: CondensedQP, n_iters: int = 15, reg: float = 1e-9, n_id: int = 0):
@@ -109,7 +124,7 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_i
         al = dl > 0
         gamma = jnp.where(au, qp.z1 + qp.z2 * du, 0.0) - jnp.where(al, qp.z1 + qp.z2 * dl, 0.0)
         d = jnp.where(au | al, qp.z2, 0.0)
-        grad = qp.H0 @ w + qp.g0 + con_tmul(qp, gamma, n_id)
+        grad = jnp.dot(qp.H0, w, precision=HI) + qp.g0 + con_tmul(qp, gamma, n_id)
         H = qp.H0 + con_normal(qp, d, n_id) + reg * eye
         L = chol_factor_packed(H)
         p = -chol_apply_packed(L, grad)
@@ -118,8 +133,8 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_i
         # piecewise quadratic, so phi'(alpha) is nondecreasing piecewise
         # linear — find its root by bracket expansion + bisection.
         s = con_mul(qp, p, n_id)
-        q1 = (qp.H0 @ w + qp.g0) @ p  # phi'(0) of the smooth part
-        q2 = p @ (qp.H0 @ p)
+        q1 = (jnp.dot(qp.H0, w, precision=HI) + qp.g0) @ p  # phi'(0) of the smooth part
+        q2 = p @ jnp.dot(qp.H0, p, precision=HI)
 
         def dphi(alpha):
             va = v + alpha * s
@@ -156,5 +171,5 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_i
     du = v - qp.ub
     dl = qp.lb - v
     gamma = jnp.where(du > 0, qp.z1 + qp.z2 * du, 0.0) - jnp.where(dl > 0, qp.z1 + qp.z2 * dl, 0.0)
-    kkt = jnp.max(jnp.abs(qp.H0 @ w + qp.g0 + con_tmul(qp, gamma, n_id)))
+    kkt = jnp.max(jnp.abs(jnp.dot(qp.H0, w, precision=HI) + qp.g0 + con_tmul(qp, gamma, n_id)))
     return w, kkt

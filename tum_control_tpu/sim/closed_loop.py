@@ -118,7 +118,7 @@ class ClosedLoopSim:
         # --- controller RTI solve (NMPC_class.solve)
         if carry.extra is not None:
             out, ctrl_state, extra = self.controller.solve_with_extra(
-                carry.ctrl_state, carry.extra, carry.x_est, window
+                carry.ctrl_state, carry.extra, carry.x_est, window, mods=mods
             )
         else:
             out, ctrl_state = self.controller.solve(
@@ -210,6 +210,11 @@ class ClosedLoopSim:
         if key is None:
             key = jax.random.PRNGKey(0)
         carry = self.init_carry(x0_mpc, x0_sim, key)
+        return self.run_from(carry, n_steps, playback=playback)
+
+    def run_from(self, carry: SimCarry, n_steps: int, playback=None):
+        """Continue the closed loop from an existing carry (e.g. after a
+        settle phase, or resuming a checkpointed run)."""
         if playback is None:
             w_d = jnp.zeros((n_steps, 7), dtype=carry.x_sim.dtype)
             w_s = jnp.zeros((n_steps, 7), dtype=carry.x_sim.dtype)
