@@ -89,10 +89,19 @@ def test_snmpc_structured_condense_equals_dense():
     np.testing.assert_allclose(np.asarray(e_st), np.asarray(e_ref), atol=1e-12)
     np.testing.assert_allclose(np.asarray(G_st), np.asarray(G_ref), atol=1e-12)
 
+    # the analytic con_jac/y_jac hooks must produce the *identical* QP
+    assert c_s.engine.funcs.con_jac is not None and c_s.engine.funcs.y_jac is not None
+    qp_d = c_d.engine._build_qp(st, c_d._fan(x0), *c_d.make_yref(win))[0]
+    qp_s = c_s.engine._build_qp(st, c_s._fan(x0), *c_s.make_yref(win))[0]
+    for f in qp_d._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(qp_s, f)), np.asarray(getattr(qp_d, f)), atol=1e-9
+        )
+
     u_d, st_d, _ = c_d.engine.solve(st, c_d._fan(x0), *c_d.make_yref(win))
     u_s, st_s, _ = c_s.engine.solve(st, c_s._fan(x0), *c_s.make_yref(win))
-    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_d), atol=1e-12)
-    np.testing.assert_allclose(np.asarray(st_s.X), np.asarray(st_d.X), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_d), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_s.X), np.asarray(st_d.X), atol=1e-10)
 
 
 def test_snmpc_uph_freeze_semantics():

@@ -274,6 +274,64 @@ class StochasticNMPC:
             # delta_f bound acts on the nominal copy
             return jnp.concatenate([h, xs[0, 6:7]])
 
+        def con_jac(k, x):
+            """Analytic constraint Jacobian over the stacked state.
+
+            h_cc depends on the per-copy h values only through the PCE
+            coefficients, so d h_cc / d x_j factorizes into a per-sample
+            scalar weight times the copy's own (nh, 8) h-Jacobian:
+
+              w_{j} = A[0,j] + kappa * sum_{l>=1} coeff[l] A[l,j] / sigma
+
+            — O(samples) 8-dim jacfwds instead of one 88-dim jacfwd
+            (the generic path pushes 88 tangents through all 11 copies).
+            """
+            xs = x.reshape(ns1, 8)
+            h_all, dh_all = jax.vmap(
+                lambda s: (h_of(s), jax.jacfwd(h_of)(s))
+            )(xs)                                     # (ns1,nh), (ns1,nh,8)
+            h_nom = h_all[0]
+            coeff = A @ h_all[1:]                     # (L, nh)
+            mean = coeff[0]
+            var = jnp.sum(coeff[1:] ** 2, axis=0)
+            sd = jnp.sqrt(var + 1e-30)
+            h_cc = mean + sd * kappa
+            frozen = stop[k] == 1.0
+            C_h = jnp.where(frozen, h_nom, h_cc)
+
+            # per-sample weights (ns, nh)
+            wj = A[0][:, None] + kappa * jnp.einsum(
+                "lr,lj->jr", coeff[1:], A[1:]
+            ) / sd[None, :]
+            J_cc = jnp.concatenate(
+                [jnp.zeros((1, nh, 8), x.dtype), wj[:, :, None] * dh_all[1:]]
+            )                                          # (ns1, nh, 8)
+            J_nom = jnp.concatenate(
+                [dh_all[:1], jnp.zeros((ns1 - 1, nh, 8), x.dtype)]
+            )
+            J_h = jnp.where(frozen, J_nom, J_cc)       # (ns1, nh, 8)
+            J_h = jnp.transpose(J_h, (1, 0, 2)).reshape(nh, self.nx)
+            J_df = jnp.zeros((1, self.nx), x.dtype).at[0, 6].set(1.0)
+            return (
+                jnp.concatenate([C_h, xs[0, 6:7]]),
+                jnp.concatenate([J_h, J_df], axis=0),
+            )
+
+        def y_jac(k, x, u):
+            """Analytic stage-output Jacobian: y depends only on the nominal
+            copy's [posx, posy, yaw, vlong, vlat] and on u."""
+            vel_abs = jnp.sqrt(x[3] ** 2 + x[4] ** 2 + 1e-30)
+            Y = jnp.concatenate(
+                [jnp.stack([x[0], x[1], wrap_2pi(x[2]), vel_abs]), u]
+            )
+            ny = 4 + self.nu
+            Jx = jnp.zeros((ny, self.nx), x.dtype)
+            Jx = Jx.at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(1.0)
+            Jx = Jx.at[3, 3].set(x[3] / vel_abs).at[3, 4].set(x[4] / vel_abs)
+            Ju = jnp.zeros((ny, self.nu), x.dtype)
+            Ju = Ju.at[4, 0].set(1.0).at[5, 1].set(1.0)
+            return Y, Jx, Ju
+
         W = 0.01 * np.concatenate([np.diag(mpc_cfg.Q()), np.diag(mpc_cfg.R())])
         We = 0.01 * np.diag(mpc_cfg.Q())
 
@@ -296,6 +354,8 @@ class StochasticNMPC:
             funcs=OCPFunctions(
                 dyn_step, y_stage, y_term, con_stage, dyn_jac=dyn_jac,
                 lin_condense=lin_condense if structured else None,
+                con_jac=con_jac if structured else None,
+                y_jac=y_jac if structured else None,
             ),
             N=N,
             nx=self.nx,

@@ -75,6 +75,14 @@ class OCPFunctions(NamedTuple):
     # einsums, and an (N*len(sel), nz) instead of (N*ny, nz) Hessian matmul.
     y_select: tuple = None         # state indices for the leading y rows
     y_select_term: tuple = None    # state indices for y_term rows
+    # optional analytic constraint value+Jacobian: (k, x) -> (C (nc,),
+    # Jc (nc, nx)). For structured large states (SNMPC's stacked samples)
+    # jacfwd over the full nx pushes nx tangents through the constraint;
+    # the analytic form costs O(samples) instead.
+    con_jac: Callable = None
+    # optional analytic stage-output value+Jacobians:
+    # (k, x, u) -> (Y (ny,), Jx (ny, nx), Ju (ny, nu)); same rationale.
+    y_jac: Callable = None
 
 
 class RTIState(NamedTuple):
@@ -297,6 +305,21 @@ class RTIEngine:
                 + (Wu[None, :] * r_u).reshape(-1)
                 + Me.T @ (We * re0)
             )
+        elif self.funcs.y_jac is not None:
+            Y, Jyx, Jyu = jax.vmap(self.funcs.y_jac)(ks, state.X[:-1], state.U)
+            r0 = Y - yref + jnp.einsum("kij,kj->ki", Jyx, e[:N])
+            M = jnp.einsum("kij,kjz->kiz", Jyx, Gam[:N]) + jnp.einsum(
+                "kij,kjz->kiz", Jyu, self.E
+            )
+            ye = self.funcs.y_term(state.X[N])
+            Jye = jax.jacfwd(self.funcs.y_term)(state.X[N])
+            re0 = ye - yref_e + Jye @ e[N]
+            Me = Jye @ Gam[N]
+            Mf = M.reshape(N * M.shape[1], nz)
+            rf = r0.reshape(-1)
+            wts = jnp.tile(W, N)
+            H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
+            g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
         else:
             Y = jax.vmap(y_xu)(ks, XU)                          # (N, ny)
             Jy = jax.vmap(jax.jacfwd(y_xu, argnums=1))(ks, XU)  # (N, ny, nx+nu)
@@ -325,8 +348,11 @@ class RTIEngine:
 
         # --- constraint rows ---
         kall = jnp.arange(N + 1)
-        C = jax.vmap(self.funcs.con_stage)(kall, state.X)          # (N+1, nc)
-        Jc = jax.vmap(jax.jacfwd(self.funcs.con_stage, argnums=1))(kall, state.X)
+        if self.funcs.con_jac is not None:
+            C, Jc = jax.vmap(self.funcs.con_jac)(kall, state.X)    # (N+1,nc),(N+1,nc,nx)
+        else:
+            C = jax.vmap(self.funcs.con_stage)(kall, state.X)      # (N+1, nc)
+            Jc = jax.vmap(jax.jacfwd(self.funcs.con_stage, argnums=1))(kall, state.X)
         c0_c = C + jnp.einsum("kij,kj->ki", Jc, e)
         G_c = jnp.einsum("kij,kjz->kiz", Jc, Gam)                  # (N+1, nc, nz)
 
