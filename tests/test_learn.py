@@ -198,3 +198,74 @@ def test_eval_callback_saves_best(tmp_path):
     ev = np.load(str(tmp_path / "evaluations.npz"))
     np.testing.assert_array_equal(ev["updates"], [0, 1, 2])
     np.testing.assert_allclose(ev["mean_reward"], [0.5, 0.9, 0.7])
+
+
+def test_rlenv_propagates_extra_over_rnmpc_base():
+    """Training over an extra-carrying base (R2NMPC) must propagate its
+    carried constraint-tightening state through env rollouts instead of
+    silently dropping it (round-1 weak #7), and the RL weight mods must
+    reach the solve."""
+    import jax
+
+    from tum_control_tpu.api import build_simulation
+    from tum_control_tpu.config import MPCConfig, SimConfig
+    from tum_control_tpu.learn.env import RLEnv, RLEnvConfig
+    from tum_control_tpu.learn.wmpc import load_param_table
+    from tum_control_tpu.track.trajectory import load_ref_trajectory, stack_trajectories
+
+    sim_cfg = SimConfig(sim_mode=0)
+    sim, *_ = build_simulation(sim_cfg, MPCConfig(controller="rnmpc"))
+    traj = load_ref_trajectory(
+        os.path.join(sim_cfg.trajectory_path, "reftraj_monteblanco_edgar.json")
+    )
+    stacked = stack_trajectories([traj])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    table = load_param_table(os.path.join(root, "data", "F.csv"))
+    env = RLEnv(sim, stacked, table, ObservationConfig(Ts=sim_cfg.Ts),
+                RLEnvConfig(n_mpc_steps=3))
+
+    es, obs = env.reset(jax.random.PRNGKey(0))
+    assert es.carry.extra is not None
+    np.testing.assert_array_equal(np.asarray(es.carry.extra.corr_steer), 0.0)
+    es2, obs2, reward, done = jax.jit(env.step)(es, jnp.asarray(0))
+    # R2 corrections refreshed by the inner solves
+    assert float(np.abs(np.asarray(es2.carry.extra.corr_steer)).max()) > 0.0
+    assert np.isfinite(float(reward))
+
+
+def test_bo_candidates_always_finite_and_progress():
+    """BO pipeline on a synthetic objective: every proposed candidate must
+    be finite (the r1 campaign silently evaluated NaN parameter vectors for
+    all BO-proposed trials — f32 GP Cholesky failures propagated through the
+    acquisition gradients), and the optimizer should add feasible trials."""
+    from tum_control_tpu.learn.bo.optimizer import BayesianOptimizer, BOConfig
+
+    lo = np.asarray(BOConfig().bounds_lo)
+    hi = np.asarray(BOConfig().bounds_hi)
+    center = lo + 0.4 * (hi - lo)
+
+    def make_eval(shift):
+        def ev(params):
+            P = np.asarray(params)
+            z = (P - center) / (hi - lo)
+            # calibrated to ~30% feasible under Sobol sampling (the real
+            # problem's group-0 rate), so the initial data seeds the GPs
+            feas = np.linalg.norm(z, axis=1) < 0.78
+            objs = np.stack(
+                [-np.abs(z[:, 0] + shift) - 0.3, -np.abs(z[:, 1]) - 0.4], axis=1
+            )
+            objs = np.where(feas[:, None], objs, np.nan)
+            return objs, feas
+
+        return ev
+
+    cfg = BOConfig(n_initial=20, n_bayesian_optimization=4, batch_size=3, n_mc=16)
+    bo = BayesianOptimizer([make_eval(0.0), make_eval(0.1)], cfg, seed=0)
+    bo.generate_initial_data()
+    for it in range(cfg.n_bayesian_optimization):
+        bo.step(it)
+    P = np.stack([t.params for t in bo.trials])
+    assert np.all(np.isfinite(P)), "BO proposed non-finite parameters"
+    assert len(bo.trials) == 20 + 4 * 3
+    n_feas = sum(bool(np.asarray(t.feasible).any()) for t in bo.trials[20:])
+    assert n_feas > 0, "BO never proposed a feasible candidate on an easy problem"

@@ -86,7 +86,12 @@ def make_acquisition(
         ehvi = hvi.mean(axis=0)  # (m,)
         mu_f, sd_f = gp_posterior(feas_gp, X)
         p_feas = jax.scipy.stats.norm.cdf(mu_f / (sd_f + 1e-9))
-        weight = eps * p_feas + (1.0 - eps) * sd_f
+        # exploration term on the PROBABILITY scale (bounded like the
+        # reference's Dirichlet-classifier sd): sqrt(p(1-p)) peaks at the
+        # feasibility boundary; the raw regression sd is unbounded far from
+        # data and drags candidates into the corners
+        sigma_p = 2.0 * jnp.sqrt(p_feas * (1.0 - p_feas))
+        weight = eps * p_feas + (1.0 - eps) * sigma_p
         return ehvi * weight
 
     return acq
@@ -112,23 +117,33 @@ def optimize_acquisition(
     def step(X, state):
         loss, g = jax.value_and_grad(lambda Z: -jnp.sum(acq(Z)))(X)
         upd, state = opt.update(g, state)
-        X = jnp.clip(optax.apply_updates(X, upd), 0.0, 1.0)
-        return X, state
+        X_new = jnp.clip(optax.apply_updates(X, upd), 0.0, 1.0)
+        # f32 guard: a NaN acquisition gradient must not poison the
+        # candidate — keep the pre-update point instead (the round-1 BO
+        # campaign silently evaluated NaN parameter vectors for every
+        # BO-proposed trial because of this)
+        X_new = jnp.where(jnp.isfinite(X_new), X_new, X)
+        return X_new, state
 
     for _ in range(n_polish):
         X, state = step(X, state)
 
-    vals = acq(X)
-    order = np.argsort(-np.asarray(vals))
+    vals = np.asarray(acq(X))
+    X_np = np.asarray(X)
+    finite = np.all(np.isfinite(X_np), axis=1) & np.isfinite(vals)
+    if not finite.any():  # full fallback: raw Sobol screen winners
+        X_np, vals = np.asarray(X0[top]), np.asarray(acq(X0[top]))
+        finite = np.all(np.isfinite(X_np), axis=1)
+    order = [i for i in np.argsort(-vals) if finite[i]]
     chosen = []
     for i in order:
-        x = np.asarray(X[i])
+        x = X_np[i]
         if all(np.linalg.norm(x - c) > 0.02 for c in chosen):
             chosen.append(x)
         if len(chosen) == q:
             break
     while len(chosen) < q:
-        chosen.append(np.asarray(X[order[0]]))
+        chosen.append(X_np[order[0]])
     return np.stack(chosen)
 
 

@@ -39,12 +39,30 @@ def _kernel(params: GPParams, X1, X2):
     return jnp.exp(params.log_outputscale) * jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
 
 
+def _K_train(params: GPParams, X):
+    # relative jitter: in f32 an absolute 1e-6 floor underflows against a
+    # large outputscale and the Cholesky NaNs
+    n = X.shape[0]
+    jit = jnp.exp(params.log_noise) + 1e-6 + 1e-5 * jnp.exp(params.log_outputscale)
+    return _kernel(params, X, X) + jit * jnp.eye(n)
+
+
 def _mll(params: GPParams, X, y):
     n = X.shape[0]
-    K = _kernel(params, X, X) + (jnp.exp(params.log_noise) + 1e-6) * jnp.eye(n)
+    K = _K_train(params, X)
     L = jnp.linalg.cholesky(K)
     alpha = jax.scipy.linalg.cho_solve((L, True), y)
-    return -0.5 * y @ alpha - jnp.sum(jnp.log(jnp.diag(L))) - 0.5 * n * jnp.log(2 * jnp.pi)
+    mll = -0.5 * y @ alpha - jnp.sum(jnp.log(jnp.diag(L))) - 0.5 * n * jnp.log(2 * jnp.pi)
+    # mild log-normal hyperpriors (the role of BoTorch's Gamma priors,
+    # surrogate_models.py SingleTaskGP defaults): plain MLE on a few dozen
+    # points collapses lengthscales, and the resulting huge extrapolation
+    # variance makes MC-EHVI chase the corners of the space
+    prior = (
+        -0.5 * jnp.sum((params.log_lengthscales - jnp.log(0.5)) ** 2) / 0.75**2
+        - 0.5 * params.log_outputscale**2 / 1.0
+        - 0.5 * (params.log_noise + 4.0) ** 2 / 2.0**2
+    )
+    return mll + prior
 
 
 def fit_gp(X, y, n_steps: int = 300, lr: float = 0.05) -> GPData:
@@ -65,14 +83,22 @@ def fit_gp(X, y, n_steps: int = 300, lr: float = 0.05) -> GPData:
     @jax.jit
     def step(params, state):
         loss, g = jax.value_and_grad(lambda p: -_mll(p, X, ys))(params)
-        upd, state = opt.update(g, state)
-        return optax.apply_updates(params, upd), state, loss
+        upd, new_state = opt.update(g, state)
+        new_params = optax.apply_updates(params, upd)
+        # f32 guard: a failed Cholesky inside the MLL poisons params with
+        # NaNs for every later step — skip non-finite updates instead
+        ok = jnp.isfinite(loss) & jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(g)])
+        )
+        keep = lambda n_, o_: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), n_, o_
+        )
+        return keep(new_params, params), keep(new_state, state), loss
 
     for _ in range(n_steps):
         params, state, loss = step(params, state)
 
-    n = X.shape[0]
-    K = _kernel(params, X, X) + (jnp.exp(params.log_noise) + 1e-6) * jnp.eye(n)
+    K = _K_train(params, X)
     L = jnp.linalg.cholesky(K)
     alpha = jax.scipy.linalg.cho_solve((L, True), ys)
     return GPData(X=X, y=ys, y_mean=y_mean, y_std=y_std, params=params, L=L, alpha=alpha)
@@ -95,8 +121,16 @@ def gp_sample(gp: GPData, Xq, key, n_samples: int):
     mean_s = Kq @ gp.alpha
     v = jax.scipy.linalg.solve_triangular(gp.L, Kq.T, lower=True)
     Kqq = _kernel(gp.params, Xq, Xq)
-    cov = Kqq - v.T @ v + 1e-9 * jnp.eye(Xq.shape[0])
+    scale = jnp.exp(gp.params.log_outputscale)
+    cov = Kqq - v.T @ v + (1e-9 + 1e-5 * scale) * jnp.eye(Xq.shape[0])
     Lq = jnp.linalg.cholesky(cov)
+    # f32 guard: a near-singular posterior covariance can still defeat the
+    # jitter; fall back to independent per-point samples (exact marginals,
+    # dropped cross-correlation) instead of poisoning the acquisition/its
+    # gradients with NaNs
+    sd_marg = jnp.sqrt(jnp.clip(jnp.diag(cov), 1e-12, None))
     eps = jax.random.normal(key, (n_samples, Xq.shape[0]))
-    samp = mean_s[None, :] + eps @ Lq.T
+    joint = mean_s[None, :] + eps @ Lq.T
+    indep = mean_s[None, :] + eps * sd_marg[None, :]
+    samp = jnp.where(jnp.all(jnp.isfinite(Lq)), joint, indep)
     return samp * gp.y_std + gp.y_mean

@@ -153,14 +153,21 @@ class BayesianOptimizer:
                 fh.write(",".join(str(v) for v in row) + "\n")
 
     def load_trials(self, path: str):
+        skipped = 0
         with open(path) as fh:
             for line in fh:
                 vals = line.strip().split(",")
+                params = np.asarray([float(v) for v in vals[:7]])
+                if not np.all(np.isfinite(params)):
+                    skipped += 1  # r1 CSVs contain NaN-parameter trials
+                    continue
                 self.trials.append(
                     Trial(
-                        params=np.asarray([float(v) for v in vals[:7]]),
+                        params=params,
                         objectives=np.asarray([float(v) for v in vals[7:11]]).reshape(2, 2),
                         feasible=np.asarray([bool(int(vals[11])), bool(int(vals[12]))]),
                         group=int(vals[13]),
                     )
                 )
+        if skipped:
+            print(f"load_trials: skipped {skipped} non-finite-parameter rows")
