@@ -40,9 +40,11 @@ from tum_control_tpu.controllers.common import (
     wrap_2pi,
 )
 from tum_control_tpu.controllers.nominal import HARD_Z2, ControllerOutput
-from tum_control_tpu.models.integrators import rk4_multistep
-from tum_control_tpu.models.vehicle_stm import pred_ode
+from tum_control_tpu.models.integrators import rk4_multistep, rk4_multistep_tree
+from tum_control_tpu.models.vehicle_stm import pred_ode, pred_ode_tuple
 from tum_control_tpu.ops.pallas_kernels.condense import condense_scan_from
+from tum_control_tpu.ops.pallas_kernels.fastmath import atan_poly
+from tum_control_tpu.ops.pallas_kernels.linearize import make_linearize_rollout
 from tum_control_tpu.ops.rti import BIG, OCPFunctions, RTIEngine, RTIState
 from tum_control_tpu.params import TireParams, VehicleParams
 
@@ -87,6 +89,16 @@ class StochasticNMPC:
 
         def rk4(x8, u):
             return rk4_multistep(lambda xx, uu: pred_ode(xx, uu, vp, tp), x8, u, dt, 1)
+
+        # fused Pallas rollout+sensitivity for the per-copy 8-dim steps
+        # (the same kernel the nominal controller uses; the (stage, copy)
+        # product is just a bigger element batch)
+        step_tuple_kernel = lambda x, u: rk4_multistep_tree(
+            lambda a, b: pred_ode_tuple(a, b, vp, tp, atan=atan_poly), x, u, dt, 1
+        )
+        lin_roll8 = make_linearize_rollout(
+            rk4, 8, self.nu, step_tuple_kernel=step_tuple_kernel
+        )
 
         def dyn_step(k, x, u):
             xs = x.reshape(ns1, 8)
@@ -175,14 +187,12 @@ class StochasticNMPC:
             Xs = X[:-1].reshape(N, ns1, 8)
             Xn = X[1:].reshape(N, ns1, 8)
 
-            def stepj_xu(x8, u):
-                fxu = lambda xu: rk4(xu[:8], xu[8:])
-                xu = jnp.concatenate([x8, u])
-                return fxu(xu), jax.jacfwd(fxu)(xu)
-
-            F_all, J_all = jax.vmap(
-                lambda xs_k, u_k: jax.vmap(lambda s: stepj_xu(s, u_k))(xs_k)
-            )(Xs, U)                                     # (N,ns1,8), (N,ns1,8,10)
+            XU = jnp.concatenate(
+                [Xs, jnp.broadcast_to(U[:, None, :], (N, ns1, self.nu))], axis=-1
+            ).reshape(N * ns1, 8 + self.nu)
+            F_flat, J_flat = lin_roll8(XU)               # Pallas kernel on TPU
+            F_all = F_flat.reshape(N, ns1, 8)
+            J_all = J_flat.reshape(N, ns1, 8, 8 + self.nu)
             A_blk, B_blk = J_all[..., :8], J_all[..., 8:]
 
             fr = stop[:N] == 1.0                         # (N,) frozen flags
