@@ -53,7 +53,12 @@ def main():
     )
 
     playback = None
-    if sim_cfg.disturbance_playback and sim_cfg.playback_log_file:
+    if sim_cfg.disturbance_playback:
+        if not sim_cfg.playback_log_file:
+            raise ValueError(
+                "disturbance_playback is enabled but playback_log_file is empty "
+                "(the run would silently replace disturbances with zeros)"
+            )
         from tum_control_tpu.sim.disturbances import load_playback
 
         playback = load_playback(args.logs_path, sim_cfg.playback_log_file, n_steps)

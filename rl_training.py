@@ -81,6 +81,7 @@ def main():
     )
     print(f"training: {n_updates} updates x {ppo_cfg.n_envs} envs x {ppo_cfg.n_steps} steps")
     trainer.train(n_updates, key=jax.random.PRNGKey(args.seed), callback=callback)
+    callback.finalize(trainer.policy)
 
     # final policy in the converted-SB3 npz layout; best policy (by eval
     # reward) under best_model/ — the reference's artifact of record

@@ -121,7 +121,8 @@ def uncertainty_propagation_figure(out_path):
     propagated PCE samples instead of hand-drawn sinusoids: the initial-state
     fan is stepped through the SNMPC discrete dynamics; sample spread, PCE
     mean, the mean + kappa*sigma chance-constraint surrogate and the
-    UPH freeze are all shown on the lateral-velocity channel."""
+    UPH freeze are all shown on the yaw-rate channel (the disturbed state
+    with the most visible spread)."""
     import jax
     import jax.numpy as jnp
 

@@ -24,7 +24,6 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(600)
 def test_two_process_cpu_mesh_closed_loop():
     port = _free_port()
     nproc = 2

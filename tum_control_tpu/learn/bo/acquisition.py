@@ -104,9 +104,10 @@ def optimize_acquisition(
     de-duplication (approximate sequential selection)."""
     sob = qmc.Sobol(d, scramble=True, seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
     X0 = jnp.asarray(sob.random(n_raw))
-    vals = acq(X0)
-    top = jnp.argsort(-vals)[: 4 * q]
+    vals0 = acq(X0)
+    top = jnp.argsort(-vals0)[: 4 * q]
     X = X0[top]
+    screen_vals = np.asarray(vals0)[np.asarray(top)]
 
     import optax
 
@@ -132,8 +133,10 @@ def optimize_acquisition(
     X_np = np.asarray(X)
     finite = np.all(np.isfinite(X_np), axis=1) & np.isfinite(vals)
     if not finite.any():  # full fallback: raw Sobol screen winners
-        X_np, vals = np.asarray(X0[top]), np.asarray(acq(X0[top]))
-        finite = np.all(np.isfinite(X_np), axis=1)
+        X_np, vals = np.asarray(X0[top]), screen_vals
+        finite = np.all(np.isfinite(X_np), axis=1) & np.isfinite(vals)
+    if not finite.any():  # last resort: fresh space-filling draws
+        return np.asarray(sob.random(q))
     order = [i for i in np.argsort(-vals) if finite[i]]
     chosen = []
     for i in order:

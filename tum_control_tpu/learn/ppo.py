@@ -58,12 +58,31 @@ class EvalCallback:
         self.best = -np.inf
         self.history = []
         os.makedirs(os.path.join(out_dir, "best_model"), exist_ok=True)
+        # resume (--cont into the same out dir): keep the previous best and
+        # history instead of clobbering the old checkpoint with a worse one
+        prev = os.path.join(out_dir, "evaluations.npz")
+        if os.path.exists(prev):
+            d = np.load(prev)
+            self.history = list(zip(d["updates"].tolist(), d["mean_reward"].tolist()))
+            if len(self.history):
+                self.best = float(np.max(d["mean_reward"]))
+                print(f"EvalCallback: resuming, previous best {self.best:.4f}")
 
     def __call__(self, update, policy, metrics):
-        import os
-
         if update % self.eval_freq:
             return
+        self._evaluate_and_save(update, policy)
+
+    def finalize(self, policy):
+        """Evaluate the final policy regardless of eval_freq alignment (PPO
+        typically peaks late; without this the last eval_freq-1 updates are
+        never considered for best_model)."""
+        last = self.history[-1][0] if self.history else -1
+        self._evaluate_and_save(max(last + 1, 0), policy)
+
+    def _evaluate_and_save(self, update, policy):
+        import os
+
         from tum_control_tpu.learn.policy import save_policy_npz
 
         r = self.trainer.evaluate(policy, self.key, self.n_envs, self.n_steps)

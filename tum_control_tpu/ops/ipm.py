@@ -220,7 +220,8 @@ def solve_soft_qp_ipm(
 
         # freeze once converged (or if a step went non-finite) — keeps the
         # fixed-iteration scan numerically safe after the gap collapses
-        ok = (gap > 1e-11 * nt) & jnp.all(jnp.isfinite(dw)) & jnp.isfinite(alpha)
+        unconverged = gap > 1e-11 * nt
+        ok = unconverged & jnp.all(jnp.isfinite(dw)) & jnp.isfinite(alpha)
         upd = lambda x, dx, m: jnp.where(ok & m, x + alpha * dx, x)
         w = jnp.where(ok, w + alpha * dw, w)
         su = upd(su, dsu, s_u)
@@ -231,7 +232,9 @@ def solve_soft_qp_ipm(
         lam_l = upd(lam_l, dlam_l, act_l)
         mu_u = upd(mu_u, dmu_u, s_u)
         mu_l = upd(mu_l, dmu_l, s_l)
-        return (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), ok
+        # stats count *unconverged* iterations, not applied updates: a solve
+        # frozen by non-finite directions must not read as fast convergence
+        return (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), unconverged
 
     carry = (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l)
     carry, oks = jax.lax.scan(body, carry, None, length=n_iters)

@@ -230,6 +230,17 @@ class RTIEngine:
         )
 
     # ------------------------------------------------------------------
+    def _gn_assemble(self, r0, M, re0, Me, W, We):
+        """Condensed Gauss-Newton blocks from stage residuals/Jacobians:
+        H0 = M' W M + Me' We Me, g0 = M' W r + Me' We re."""
+        N, nz = self.N, self.nz
+        Mf = M.reshape(N * M.shape[1], nz)
+        rf = r0.reshape(-1)
+        wts = jnp.tile(W, N)
+        H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
+        g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+        return H0, g0
+
     def _build_qp(self, state: RTIState, x0, yref, yref_e, mods=None, want_A=False):
         W, We, con_lb, con_ub, con_z1, con_z2, u_lb, u_ub, u_z1, u_z2 = self._merged(mods)
         N, nx, nu, nz = self.N, self.nx, self.nu, self.nz
@@ -269,12 +280,7 @@ class RTIEngine:
             Jye = jax.jacfwd(self.funcs.resid_term, argnums=0)(state.X[N], yref_e)
             re0 = ye + Jye @ e[N]
             Me = Jye @ Gam[N]
-
-            Mf = M.reshape(N * M.shape[1], nz)
-            rf = r0.reshape(-1)
-            wts = jnp.tile(W, N)
-            H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
-            g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+            H0, g0 = self._gn_assemble(r0, M, re0, Me, W, We)
         elif self.funcs.y_select is not None:
             Y = jax.vmap(y_xu)(ks, XU)                         # (N, ny)
             # selection-structured cost: y = [x[sel] (unit Jacobian), u]
@@ -315,11 +321,7 @@ class RTIEngine:
             Jye = jax.jacfwd(self.funcs.y_term)(state.X[N])
             re0 = ye - yref_e + Jye @ e[N]
             Me = Jye @ Gam[N]
-            Mf = M.reshape(N * M.shape[1], nz)
-            rf = r0.reshape(-1)
-            wts = jnp.tile(W, N)
-            H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
-            g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+            H0, g0 = self._gn_assemble(r0, M, re0, Me, W, We)
         else:
             Y = jax.vmap(y_xu)(ks, XU)                          # (N, ny)
             Jy = jax.vmap(jax.jacfwd(y_xu, argnums=1))(ks, XU)  # (N, ny, nx+nu)
@@ -333,12 +335,7 @@ class RTIEngine:
             Jye = jax.jacfwd(self.funcs.y_term)(state.X[N])     # (ny_e, nx)
             re0 = ye - yref_e + Jye @ e[N]
             Me = Jye @ Gam[N]                                   # (ny_e, nz)
-
-            Mf = M.reshape(N * M.shape[1], nz)
-            rf = r0.reshape(-1)
-            wts = jnp.tile(W, N)
-            H0 = (Mf * wts[:, None]).T @ Mf + (Me * We[:, None]).T @ Me
-            g0 = Mf.T @ (wts * rf) + Me.T @ (We * re0)
+            H0, g0 = self._gn_assemble(r0, M, re0, Me, W, We)
 
         if self.lm_reg:
             # Levenberg-Marquardt damping in the condensed variable space
