@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--cont", dest="cont", default=None, metavar="DIR",
                     help="continue training from DIR/policy_weights.npz "
                          "(reference rl_training.py '-cont' resume)")
+    ap.add_argument("--actions", default="data/F.csv",
+                    help="Pareto action catalog CSV (e.g. the self-built "
+                         "data/F_jax.csv)")
     ap.add_argument("--eval-freq", type=int, default=5,
                     help="updates between EvalCallback evaluations")
     args = ap.parse_args()
@@ -53,7 +56,12 @@ def main():
         for t in args.tracks
     ]
     stacked = stack_trajectories(trajs)
-    table = load_param_table(os.path.join(cfg_mod.REPO_ROOT, "data", "F.csv"))
+    actions_path = (
+        args.actions if os.path.isabs(args.actions)
+        else os.path.join(cfg_mod.REPO_ROOT, args.actions)
+    )
+    table = load_param_table(actions_path)
+    print(f"action catalog: {args.actions} ({len(table)} sets)")
 
     env_cfg = RLEnvConfig(n_mpc_steps=5 if args.smoke else 20)
     env = RLEnv(sim, stacked, table, ObservationConfig(Ts=sim_cfg.Ts), env_cfg)
@@ -86,6 +94,31 @@ def main():
     # final policy in the converted-SB3 npz layout; best policy (by eval
     # reward) under best_model/ — the reference's artifact of record
     save_policy_npz(trainer.policy, os.path.join(args.out, "policy_weights.npz"))
+    # provenance config (the reference copies rl_config.yaml into the run
+    # dir); WMPC inference reads actions_file from here
+    import yaml
+
+    with open(os.path.join(args.out, "rl_config.yaml"), "w") as fh:
+        yaml.safe_dump(
+            {
+                "actions_file": args.actions,
+                "obs_n_anticipation_points": 10,
+                "n_obs_stack": 1,
+                "n_mpc_steps": env_cfg.n_mpc_steps,
+                "tracks": list(args.tracks),
+                "updates": int(n_updates),
+                "n_envs": int(ppo_cfg.n_envs),
+                "seed": int(args.seed),
+            },
+            fh,
+        )
+    import shutil
+
+    if os.path.exists(os.path.join(args.out, "best_model", "policy_weights.npz")):
+        shutil.copy(
+            os.path.join(args.out, "rl_config.yaml"),
+            os.path.join(args.out, "best_model", "rl_config.yaml"),
+        )
     print(f"saved final policy to {args.out}/policy_weights.npz; "
           f"best eval reward {callback.best:.4f} -> {args.out}/best_model/")
 

@@ -57,12 +57,18 @@ def _wrap_wmpc(ctrl, mpc_cfg: MPCConfig, sim_cfg: SimConfig):
     policy = load_sb3_policy(os.path.join(model_dir, "policy_weights.npz"))
     rl_cfg_path = os.path.join(model_dir, "rl_config.yaml")
     n_points, n_stack = 10, 1
+    actions_file = "data/F.csv"
     if os.path.exists(rl_cfg_path):
         with open(rl_cfg_path) as fh:
             rl_cfg = yaml.safe_load(fh)
         n_points = int(rl_cfg.get("obs_n_anticipation_points", 10))
         n_stack = int(rl_cfg.get("n_obs_stack", 1))
-    table = load_param_table(os.path.join(cfg_mod.REPO_ROOT, "data", "F.csv"))
+        # the catalog the policy's discrete actions index into (e.g. the
+        # self-built data/F_jax.csv) — must match training
+        actions_file = rl_cfg.get("actions_file", actions_file)
+    if not os.path.isabs(actions_file):
+        actions_file = os.path.join(cfg_mod.REPO_ROOT, actions_file)
+    table = load_param_table(actions_file)
     return WMPCController(
         base=ctrl,
         policy=policy,
