@@ -68,6 +68,13 @@ def _wrap_wmpc(ctrl, mpc_cfg: MPCConfig, sim_cfg: SimConfig):
         actions_file = rl_cfg.get("actions_file", actions_file)
     if not os.path.isabs(actions_file):
         actions_file = os.path.join(cfg_mod.REPO_ROOT, actions_file)
+    if not os.path.exists(actions_file):
+        # converted reference checkpoints carry the reference repo's layout
+        # (Learning_To_Adapt/SafeRL_WMPC/_parameters/F.csv); the same catalog
+        # ships here under data/<basename>
+        fallback = os.path.join(cfg_mod.REPO_ROOT, "data", os.path.basename(actions_file))
+        if os.path.exists(fallback):
+            actions_file = fallback
     table = load_param_table(actions_file)
     return WMPCController(
         base=ctrl,
