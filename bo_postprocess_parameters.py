@@ -30,8 +30,10 @@ def main():
     n_feas = sum(bool(np_.asarray(t.feasible).any()) for t in bo.trials)
     print(f"loaded {len(bo.trials)} trials ({n_feas} any-group feasible)")
 
-    table = export_parameter_sets(bo.trials, args.out, n_per_group=args.per_group)
-    print(f"exported {len(table)} parameter sets to {args.out}")
+    table = export_parameter_sets(
+        bo.trials, args.out, n_per_group=args.per_group, per_group_files=True
+    )
+    print(f"exported {len(table)} parameter sets to {args.out} (+ per-group _0/_1)")
 
     if args.plot:
         import matplotlib

@@ -7,6 +7,7 @@ points), and export the parameter sets as the WMPC action catalog CSV.
 """
 from __future__ import annotations
 
+import os
 from typing import List
 
 import numpy as np
@@ -40,15 +41,24 @@ def reduce_points(X: np.ndarray, Y: np.ndarray, n_clusters: int):
     return X[idx], Y[idx]
 
 
-def export_parameter_sets(trials, path: str, n_per_group: int = 13) -> np.ndarray:
-    """Combined per-group reduced Pareto sets -> CSV rows of 7 params."""
+def export_parameter_sets(
+    trials, path: str, n_per_group: int = 13, per_group_files: bool = False
+) -> np.ndarray:
+    """Combined per-group reduced Pareto sets -> CSV rows of 7 params.
+
+    With per_group_files=True also writes <stem>_0.csv / <stem>_1.csv, the
+    reference's per-group catalogs (_parameters/F_0.csv, F_1.csv;
+    bo_postprocess_parameters.py writes combined + per-group)."""
     rows: List[np.ndarray] = []
+    stem, ext = os.path.splitext(path)
     for group in (0, 1):
         X, Y = extract_pareto(trials, group)
         if len(X) == 0:
             continue
         Xr, _ = reduce_points(X, Y, n_per_group)
         rows.extend(Xr)
+        if per_group_files:
+            np.savetxt(f"{stem}_{group}{ext}", np.asarray(Xr), delimiter=",", fmt="%.4g")
     table = np.asarray(rows)
     np.savetxt(path, table, delimiter=",", fmt="%.4g")
     return table
