@@ -269,3 +269,56 @@ def test_bo_candidates_always_finite_and_progress():
     assert len(bo.trials) == 20 + 4 * 3
     n_feas = sum(bool(np.asarray(t.feasible).any()) for t in bo.trials[20:])
     assert n_feas > 0, "BO never proposed a feasible candidate on an easy problem"
+
+def test_bo_postprocess_pareto_export(tmp_path):
+    """Pareto extraction, reduction, and combined + per-group CSV export
+    (reference BO_WMPC/postprocessing.py:12-91 + bo_postprocess_parameters.py:
+    combined F.csv and per-group F_0/F_1 catalogs)."""
+    from tum_control_tpu.learn.bo.optimizer import Trial
+    from tum_control_tpu.learn.bo.postprocess import export_parameter_sets, extract_pareto
+
+    rng = np.random.default_rng(0)
+    trials = []
+    for i in range(40):
+        y = rng.uniform(-1.0, 0.0, size=(2, 2))
+        trials.append(
+            Trial(
+                params=rng.uniform(0.5, 5.0, size=7),
+                objectives=y,
+                feasible=np.array([i % 3 != 0, i % 4 != 0]),
+                group=i % 2,
+            )
+        )
+    # a dominating point must survive Pareto extraction; an infeasible or
+    # dominated one must not
+    best = Trial(
+        params=np.full(7, 2.0), objectives=np.zeros((2, 2)),
+        feasible=np.array([True, True]), group=0,
+    )
+    dominated = Trial(
+        params=np.full(7, 3.0), objectives=np.full((2, 2), -2.0),
+        feasible=np.array([True, True]), group=1,
+    )
+    trials += [best, dominated]
+
+    for g in (0, 1):
+        X, Y = extract_pareto(trials, g)
+        assert any(np.allclose(x, best.params) for x in X)
+        assert not any(np.allclose(x, dominated.params) for x in X)
+        # no extracted point may dominate another
+        for a in range(len(Y)):
+            for b in range(len(Y)):
+                if a != b:
+                    assert not (
+                        np.all(Y[a] >= Y[b]) and np.any(Y[a] > Y[b])
+                    )
+
+    out = tmp_path / "F_test.csv"
+    table = export_parameter_sets(trials, str(out), n_per_group=4, per_group_files=True)
+    assert out.exists()
+    g0 = np.loadtxt(tmp_path / "F_test_0.csv", delimiter=",").reshape(-1, 7)
+    g1 = np.loadtxt(tmp_path / "F_test_1.csv", delimiter=",").reshape(-1, 7)
+    combined = np.loadtxt(out, delimiter=",")
+    assert len(g0) <= 4 + 2 and len(g1) <= 4 + 2  # n_clusters + per-dim bests
+    np.testing.assert_allclose(np.vstack([g0, g1]), combined, rtol=1e-3)
+    np.testing.assert_allclose(table, combined, rtol=1e-3)
