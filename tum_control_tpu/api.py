@@ -74,8 +74,22 @@ def _wrap_wmpc(ctrl, mpc_cfg: MPCConfig, sim_cfg: SimConfig):
         # ships here under data/<basename>
         fallback = os.path.join(cfg_mod.REPO_ROOT, "data", os.path.basename(actions_file))
         if os.path.exists(fallback):
+            import warnings
+
+            warnings.warn(
+                f"WMPC actions_file '{actions_file}' not found; substituting "
+                f"'{fallback}'. Verify it matches the catalog the policy was "
+                "trained on."
+            )
             actions_file = fallback
     table = load_param_table(actions_file)
+    n_actions = policy.act_b.shape[0]
+    if n_actions != len(table):
+        raise ValueError(
+            f"WMPC policy action head has {n_actions} actions but catalog "
+            f"'{actions_file}' has {len(table)} rows — the checkpoint was "
+            "trained against a different actions_file."
+        )
     return WMPCController(
         base=ctrl,
         policy=policy,

@@ -59,6 +59,14 @@ def export_parameter_sets(
         rows.extend(Xr)
         if per_group_files:
             np.savetxt(f"{stem}_{group}{ext}", np.asarray(Xr), delimiter=",", fmt="%.4g")
-    table = np.asarray(rows)
+    # a trial Pareto-optimal in both groups must appear once in the combined
+    # catalog (the reference dedups via a set, bo_postprocess_parameters.py)
+    seen, uniq = set(), []
+    for r in rows:
+        key = tuple(np.round(np.asarray(r, dtype=float), 12))
+        if key not in seen:
+            seen.add(key)
+            uniq.append(r)
+    table = np.asarray(uniq)
     np.savetxt(path, table, delimiter=",", fmt="%.4g")
     return table
