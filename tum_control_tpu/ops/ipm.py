@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_factor_packed
 from tum_control_tpu.ops.soft_qp import (
     CondensedQP,
+    _mv,
     con_mul,
     con_normal,
     con_tmul,
@@ -161,7 +162,7 @@ def solve_soft_qp_ipm(
         sig_u = jnp.where(act_u, lam_u / (pu * D_u), 0.0)
         sig_l = jnp.where(act_l, lam_l / (pl * D_l), 0.0)
 
-        r_w = jnp.dot(H0, w, precision=jax.lax.Precision.HIGHEST) + g0 + con_tmul(qp, lam_u - lam_l, n_id)
+        r_w = _mv(H0, w) + g0 + con_tmul(qp, lam_u - lam_l, n_id)
         H = H0 + con_normal(qp, sig_u + sig_l, n_id) + 1e-11 * eye
         L = chol_factor_packed(H)
 

@@ -34,6 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import os
+
 from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_factor_packed
 
 # Residual/gradient matvecs run f32-exact: the MXU's default bf16-pass
@@ -43,6 +45,31 @@ from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_fact
 # Newton direction, which the iteration corrects — so matrix-matrix
 # products stay at default precision (full speed).
 HI = jax.lax.Precision.HIGHEST
+
+# Lowering strategy for the f32-exact matvecs (A/B-able via env for perf
+# work): "vpu" evaluates them as broadcast-multiply + lane reduction —
+# exact f32 on the VPU, no MXU pass decomposition; "mxu" uses
+# dot(..., precision=HIGHEST) (6-pass bf16 on the MXU).
+_MATVEC = os.environ.get("TUM_QP_MATVEC", "mxu")
+_NORMAL_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("TUM_QP_NORMAL", "high")]
+
+
+def _mv(A, x):
+    """A @ x, f32-exact. VPU mode: elementwise mul + reduce (exact, no MXU)."""
+    if _MATVEC == "vpu":
+        return jnp.sum(A * x[None, :], axis=-1)
+    return jnp.dot(A, x, precision=HI)
+
+
+def _mtv(A, y):
+    """A.T @ y, f32-exact."""
+    if _MATVEC == "vpu":
+        return jnp.sum(A * y[:, None], axis=-2)
+    return jnp.dot(A.T, y, precision=HI)
 
 
 class CondensedQP(NamedTuple):
@@ -67,14 +94,14 @@ class CondensedQP(NamedTuple):
 
 def con_mul(qp: CondensedQP, w, n_id: int = 0):
     """Full constraint-Jacobian product [G; I] w (f32-exact)."""
-    Gw = jnp.dot(qp.G, w, precision=HI)
+    Gw = _mv(qp.G, w)
     return jnp.concatenate([Gw, w]) if n_id else Gw
 
 
 def con_tmul(qp: CondensedQP, y, n_id: int = 0):
     """Transpose product [G; I]' y (f32-exact)."""
     ncg = qp.G.shape[0]
-    Gty = jnp.dot(qp.G.T, y[:ncg] if n_id else y, precision=HI)
+    Gty = _mtv(qp.G, y[:ncg] if n_id else y)
     return Gty + y[ncg:] if n_id else Gty
 
 
@@ -87,7 +114,7 @@ def con_normal(qp: CondensedQP, d, n_id: int = 0):
     ~1e-6 relative) is enough; f32-exact (HIGHEST) doubles the cost for no
     measurable closed-loop difference."""
     ncg = qp.G.shape[0]
-    H = jnp.matmul(qp.G.T * d[None, :ncg], qp.G, precision=jax.lax.Precision.HIGH)
+    H = jnp.matmul(qp.G.T * d[None, :ncg], qp.G, precision=_NORMAL_PREC)
     if n_id:
         H = H + jnp.diag(d[ncg:])
     return H
@@ -102,7 +129,7 @@ def _penalty(qp: CondensedQP, v):
 
 
 def objective(qp: CondensedQP, w, n_id: int = 0):
-    return 0.5 * w @ jnp.dot(qp.H0, w, precision=HI) + qp.g0 @ w + _penalty(qp, con_mul(qp, w, n_id) + qp.c0)
+    return 0.5 * w @ _mv(qp.H0, w) + qp.g0 @ w + _penalty(qp, con_mul(qp, w, n_id) + qp.c0)
 
 
 def solve_soft_qp(qp: CondensedQP, n_iters: int = 15, reg: float = 1e-9, n_id: int = 0):
@@ -124,7 +151,7 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_i
         al = dl > 0
         gamma = jnp.where(au, qp.z1 + qp.z2 * du, 0.0) - jnp.where(al, qp.z1 + qp.z2 * dl, 0.0)
         d = jnp.where(au | al, qp.z2, 0.0)
-        grad = jnp.dot(qp.H0, w, precision=HI) + qp.g0 + con_tmul(qp, gamma, n_id)
+        grad = _mv(qp.H0, w) + qp.g0 + con_tmul(qp, gamma, n_id)
         H = qp.H0 + con_normal(qp, d, n_id) + reg * eye
         L = chol_factor_packed(H)
         p = -chol_apply_packed(L, grad)
@@ -133,8 +160,8 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_i
         # piecewise quadratic, so phi'(alpha) is nondecreasing piecewise
         # linear — find its root by bracket expansion + bisection.
         s = con_mul(qp, p, n_id)
-        q1 = (jnp.dot(qp.H0, w, precision=HI) + qp.g0) @ p  # phi'(0) of the smooth part
-        q2 = p @ jnp.dot(qp.H0, p, precision=HI)
+        q1 = (_mv(qp.H0, w) + qp.g0) @ p  # phi'(0) of the smooth part
+        q2 = p @ _mv(qp.H0, p)
 
         def dphi(alpha):
             va = v + alpha * s
@@ -171,5 +198,5 @@ def newton_polish(qp: CondensedQP, w0, n_iters: int = 15, reg: float = 1e-9, n_i
     du = v - qp.ub
     dl = qp.lb - v
     gamma = jnp.where(du > 0, qp.z1 + qp.z2 * du, 0.0) - jnp.where(dl > 0, qp.z1 + qp.z2 * dl, 0.0)
-    kkt = jnp.max(jnp.abs(jnp.dot(qp.H0, w, precision=HI) + qp.g0 + con_tmul(qp, gamma, n_id)))
+    kkt = jnp.max(jnp.abs(_mv(qp.H0, w) + qp.g0 + con_tmul(qp, gamma, n_id)))
     return w, kkt
