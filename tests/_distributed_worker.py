@@ -5,19 +5,23 @@ owns 4 virtual CPU devices; jax.distributed.initialize stitches them into
 one 4N-device global mesh, over which a short closed-loop batch is sharded
 exactly as a multi-host TPU slice would be (SURVEY.md §5.8).
 
-Usage: python _distributed_worker.py <process_id> <num_processes> <port>
+Usage: python _distributed_worker.py <process_id> <num_processes> <port> \
+           [devices_per_process] [controller]
 Prints one line: RESULT <mean_lat> <ok_count> <n_global_devices>
 """
 import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+controller = sys.argv[5] if len(sys.argv) > 5 else "nominal"
 
 # sitecustomize preloads jax and pins the axon TPU platform; backends
 # initialize lazily, so flipping to CPU here (before the first op) works —
 # same recipe as tests/conftest.py
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={ndev}"
 )
 
 import jax  # noqa: E402
@@ -38,11 +42,13 @@ from tum_control_tpu.api import build_simulation  # noqa: E402
 from tum_control_tpu.config import MPCConfig, SimConfig  # noqa: E402
 from tum_control_tpu.parallel.mesh import batched_scenarios, make_mesh  # noqa: E402
 
-assert len(jax.devices()) == 4 * nproc, jax.devices()
-assert len(jax.local_devices()) == 4
+assert len(jax.devices()) == ndev * nproc, jax.devices()
+assert len(jax.local_devices()) == ndev
 
 batch, steps = 8, 3
-sim, x0m, x0s, traj, _ = build_simulation(SimConfig(sim_mode=0, T=steps * 0.02), MPCConfig())
+sim, x0m, x0s, traj, _ = build_simulation(
+    SimConfig(sim_mode=0, T=steps * 0.02), MPCConfig(controller=controller)
+)
 x0m_b, x0s_b = batched_scenarios(traj, batch)
 keys = jax.random.split(jax.random.PRNGKey(0), batch)
 

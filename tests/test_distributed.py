@@ -24,13 +24,12 @@ def _free_port():
     return port
 
 
-def test_two_process_cpu_mesh_closed_loop():
+def _run_mesh(nproc: int, ndev: int, controller: str = "nominal"):
     port = _free_port()
-    nproc = 2
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(nproc), str(port)],
+            [sys.executable, WORKER, str(i), str(nproc), str(port), str(ndev), controller],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -53,13 +52,24 @@ def test_two_process_cpu_mesh_closed_loop():
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, out
-        _, mean_lat, ok, ndev = lines[-1].split()
-        results.append((mean_lat, int(ok), int(ndev)))
+        _, mean_lat, ok, ndev_seen = lines[-1].split()
+        results.append((mean_lat, int(ok), int(ndev_seen)))
 
-    # both processes saw the full 8-device mesh
-    assert all(r[2] == 8 for r in results), results
-    # bitwise-identical global reduction on both processes
-    assert results[0][0] == results[1][0], results
+    # every process saw the full global mesh
+    assert all(r[2] == nproc * ndev for r in results), results
+    # bitwise-identical global reduction on every process
+    assert len({r[0] for r in results}) == 1, results
     # all 8 scenarios x 3 steps solved ok
     assert all(r[1] == 8 * 3 for r in results), results
     assert float(results[0][0]) < 1.0
+
+
+def test_two_process_cpu_mesh_closed_loop():
+    _run_mesh(nproc=2, ndev=4)
+
+
+def test_four_process_cpu_mesh_closed_loop():
+    """4 coordinated OS processes x 2 virtual devices each — the N>=2-hosts
+    scaling-evidence shape of BASELINE.md, one step wider than the 2-process
+    case (VERDICT r2 #5)."""
+    _run_mesh(nproc=4, ndev=2)

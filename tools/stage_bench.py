@@ -5,7 +5,7 @@ measurement is pure device time — robust to host/tunnel latency, unlike
 per-call timing. Stages: planner | build_qp | ipm | full solve | plant+est |
 full step.
 
-Run: python tools/stage_bench.py [batch] [repeats]
+Run: python tools/stage_bench.py [batch] [repeats] [controller]
 """
 import os
 
@@ -47,9 +47,12 @@ def scan_time(step, carry, R, name):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    controller = sys.argv[3] if len(sys.argv) > 3 else "nominal"
 
     sim_cfg = SimConfig(sim_mode=0, T=2.0)
-    sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, MPCConfig())
+    sim, x0m, x0s, traj, _ = build_simulation(
+        sim_cfg, MPCConfig(controller=controller)
+    )
     ctrl = sim.controller
     eng = ctrl.engine
 
@@ -64,7 +67,9 @@ def main():
     )
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
 
-    init_b = jax.vmap(eng.init_state)(x0m_b)
+    init_b = jax.vmap(ctrl.init_state)(x0m_b)
+    # engine-level x0 (SNMPC fans the measured state into the stacked copies)
+    x0e_b = jax.vmap(ctrl._fan)(x0m_b) if hasattr(ctrl, "_fan") else x0m_b
     win_b = jax.vmap(lambda p: planner_emulator(traj, p, sim.Tp, sim.N + 1)[1])(
         x0m_b[:, :2]
     )
@@ -81,7 +86,7 @@ def main():
     # 2. build_qp: feed the QP gradient back into the carry state
     def build_step(st):
         qp = jax.vmap(lambda s, x, yr, ye: eng._build_qp(s, x, yr, ye)[0])(
-            st, x0m_b, yref_b, yref_e_b
+            st, x0e_b, yref_b, yref_e_b
         )
         dU = 1e-9 * qp.g0.reshape(batch, eng.N, eng.nu)
         return st._replace(U=st.U + dU)
@@ -91,7 +96,7 @@ def main():
     # 3. ipm: chain through the warm start
     qp_b = jax.jit(
         jax.vmap(lambda s, x, yr, ye: eng._build_qp(s, x, yr, ye)[0])
-    )(init_b, x0m_b, yref_b, yref_e_b)
+    )(init_b, x0e_b, yref_b, yref_e_b)
     warm_b = jax.vmap(lambda s: s.warm)(init_b)
 
     def ipm_step(wm):
@@ -107,7 +112,7 @@ def main():
     # 4. full solve chained through the RTI state
     def solve_step(st):
         _, st2, _ = jax.vmap(lambda s, x, yr, ye: eng.solve(s, x, yr, ye))(
-            st, x0m_b, yref_b, yref_e_b
+            st, x0e_b, yref_b, yref_e_b
         )
         return st2
 
