@@ -19,6 +19,13 @@ def main():
     ap.add_argument("--out", default="data/F_new.csv")
     ap.add_argument("--per-group", type=int, default=13)
     ap.add_argument("--plot", default=None)
+    ap.add_argument(
+        "--surrogate-plot",
+        default=None,
+        metavar="STEM",
+        help="save GP surrogate slice figures to STEM_g0.png / STEM_g1.png "
+        "(reference helpers.py surrogate visualizer parity)",
+    )
     args = ap.parse_args()
 
     from tum_control_tpu.learn.bo.optimizer import BayesianOptimizer, BOConfig
@@ -57,6 +64,17 @@ def main():
         fig.tight_layout()
         fig.savefig(args.plot, dpi=120)
         print(f"front plot -> {args.plot}")
+
+    if args.surrogate_plot:
+        from tum_control_tpu.learn.bo.diagnostics import surrogate_slice_plot
+
+        for g in (0, 1):
+            out = f"{args.surrogate_plot}_g{g}.png"
+            try:
+                surrogate_slice_plot(bo, g, out)
+                print(f"surrogate slices group {g} -> {out}")
+            except ValueError as exc:
+                print(f"surrogate slices group {g} skipped: {exc}")
 
 
 if __name__ == "__main__":

@@ -1,10 +1,13 @@
 """Evaluate a WMPC policy on a full closed-loop run.
 
     python tools/wmpc_eval.py <model_dir> [T] [track]
+    WMPC_EVAL_ACTIONS_PLOT=path.png python tools/wmpc_eval.py ...
 
 Runs enable_WMPC=True with the given model directory (policy_weights.npz +
 optional rl_config.yaml with actions_file) and prints dev_lat RMS/max +
-dev_vel RMS — the docs/RESULTS.md WMPC comparison metrics.
+dev_vel RMS — the docs/RESULTS.md WMPC comparison metrics. With
+WMPC_EVAL_ACTIONS_PLOT set, also saves the policy action-probability trace
+figure (learn.evaluation.action_probability_trace).
 """
 import os
 import sys
@@ -44,3 +47,10 @@ print(
     f"wall {wall:.1f}s",
     flush=True,
 )
+
+plot = os.environ.get("WMPC_EVAL_ACTIONS_PLOT")
+if plot:
+    from tum_control_tpu.learn.evaluation import action_probability_trace
+
+    action_probability_trace(model_dir, track=track, T=T, plot_path=plot)
+    print(f"action-probability trace -> {plot}", flush=True)

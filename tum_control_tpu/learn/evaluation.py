@@ -53,6 +53,75 @@ def run_policy(
     return logs, summary
 
 
+def action_probability_trace(
+    model_dir: str,
+    track: str = "monteblanco",
+    T: float = 40.0,
+    seed: int = 0,
+    plot_path: str = None,
+):
+    """Policy action-distribution probe over a lap (the reference's
+    helpers.get_action_probabilities, helpers.py:88-105, traced through a
+    full closed loop): runs the WMPC lap while recording, per control step,
+    the softmax action probabilities at the policy's current observation and
+    the selected action. Returns (probs (n, n_actions), actions (n,)); with
+    `plot_path`, saves a probability heatmap + selected-action trace."""
+    import jax.numpy as jnp
+
+    from tum_control_tpu.api import build_simulation
+    from tum_control_tpu.config import MPCConfig, SimConfig
+
+    sim_cfg = SimConfig(
+        sim_mode=0,
+        T=T,
+        track_file=f"track_{track}.json",
+        ref_traj_file=f"reftraj_{track}_edgar.json",
+    )
+    mpc_cfg = MPCConfig(enable_WMPC=True, WMPC_model=model_dir)
+    sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, mpc_cfg)
+    policy = sim.controller.policy
+    n = sim_cfg.Nsim
+
+    def step(carry, xs):
+        new_carry, log = sim.step(carry, xs)
+        probs = policy.action_probabilities(new_carry.extra.obs)
+        return new_carry, (probs, new_carry.extra.action, log.lat_dev)
+
+    def run():
+        carry = sim.init_carry(x0m, x0s, jax.random.PRNGKey(seed))
+        z = jnp.zeros((n, 7), dtype=jnp.asarray(x0s).dtype)
+        return jax.lax.scan(step, carry, (jnp.arange(n), z, z))
+
+    _, (probs, actions, lat) = jax.jit(run)()
+    probs, actions = np.asarray(probs), np.asarray(actions)
+
+    if plot_path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        t = np.arange(n) * 0.02
+        fig, axs = plt.subplots(2, 1, figsize=(11, 7), sharex=True,
+                                gridspec_kw={"height_ratios": [3, 1]})
+        im = axs[0].imshow(
+            probs.T, aspect="auto", origin="lower", cmap="viridis",
+            extent=[t[0], t[-1], -0.5, probs.shape[1] - 0.5],
+        )
+        axs[0].plot(t, actions, "r-", lw=0.8, label="selected action")
+        axs[0].set_ylabel("action (parameter set index)")
+        axs[0].legend(loc="upper right")
+        fig.colorbar(im, ax=axs[0], label="P(action | obs)")
+        axs[1].plot(t, np.abs(np.asarray(lat)), "k-", lw=0.8)
+        axs[1].set_ylabel("|lat_dev| [m]")
+        axs[1].set_xlabel("t [s]")
+        fig.suptitle(f"WMPC policy action probabilities over {track} ({model_dir})")
+        fig.tight_layout()
+        fig.savefig(plot_path, dpi=110)
+        plt.close(fig)
+    return probs, actions
+
+
 class TrainingHistory:
     """Store / reload PPO training metrics (TensorBoard-scrape replacement)."""
 
