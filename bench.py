@@ -13,6 +13,7 @@ vs_baseline = our aggregate solves/s divided by the reference's equivalent
 axis). Diagnostics go to stderr.
 """
 import json
+import os
 import sys
 import time
 
@@ -35,8 +36,10 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     settle = 100  # 2 s warm-up: controller/estimator settle before metrics
 
+    # perf-experiment override (default = the shipped MPCConfig value)
+    qp_iters = int(os.environ.get("BENCH_QP_ITERS", MPCConfig().qp_iters))
     sim_cfg = SimConfig(sim_mode=0, T=steps * 0.02)
-    sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, MPCConfig())
+    sim, x0m, x0s, traj, _ = build_simulation(sim_cfg, MPCConfig(qp_iters=qp_iters))
     log(f"devices: {jax.devices()}")
 
     # batch axis: scenarios starting at curvature-consistent states spread

@@ -46,11 +46,14 @@ from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_fact
 # products stay at default precision (full speed).
 HI = jax.lax.Precision.HIGHEST
 
-# Lowering strategy for the f32-exact matvecs (A/B-able via env for perf
-# work): "vpu" evaluates them as broadcast-multiply + lane reduction —
-# exact f32 on the VPU, no MXU pass decomposition; "mxu" uses
-# dot(..., precision=HIGHEST) (6-pass bf16 on the MXU).
-_MATVEC = os.environ.get("TUM_QP_MATVEC", "mxu")
+# Lowering strategy for the f32-exact matvecs: "vpu" (default) evaluates
+# them as broadcast-multiply + reduce — exact f32 on the VPU, no MXU pass
+# decomposition; "mxu" uses dot(..., precision=HIGHEST) (6-pass bf16 on the
+# MXU). Measured on v5e at batch 256 (BENCH r3 A/B, identical closed-loop
+# quality p99 0.777 m): vpu 137.7k solves/s vs mxu 129.5k — batched matvecs
+# are a degenerate MXU shape (1 effective RHS column), the VPU path is both
+# exact and faster. Env knob kept for future hardware re-evaluation.
+_MATVEC = os.environ.get("TUM_QP_MATVEC", "vpu")
 _NORMAL_PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
