@@ -113,7 +113,12 @@ class MPCConfig:
     WMPC_model: str = ""
     weights_update_period: int = 20
     # solver
-    qp_iters: int = 6              # interior-point iterations per RTI QP solve
+    # interior-point iterations per RTI QP solve. 4 Mehrotra iterations (plus
+    # the semismooth-Newton polish) are enough with warm starts: hardware
+    # sweep 6/5/4 gives 137.7k/150.5k/165.9k solves/s at identical closed-
+    # loop quality bars (lat_dev p99 0.777 m, 100% ok, golden-matched lap
+    # mean within 1.7% of the ACC24 golden — docs/RESULTS.md r3 sweep)
+    qp_iters: int = 4
     sqp_iters: int = 1             # SQP iterations per control step: 1 = the
     # reference's SQP_RTI (NMPC_STM_acados_settings.py:234); >1 re-linearizes
     # within the step (acados' SQP mode), buying tracking quality with the
