@@ -162,7 +162,7 @@ class StochasticNMPC:
             B = jnp.concatenate([B_nom[None], B_smp]).reshape(self.nx, self.nu)
             return F, A, B
 
-        def lin_condense(X, U, d0):
+        def lin_structured(X, U, d0):
             """Structure-exploiting fused linearize+condense.
 
             The stacked transition matrix is block sparse (see dyn_jac), and
@@ -178,9 +178,14 @@ class StochasticNMPC:
                 kernel's init-carry variant on TPU); sample Gammas stay
                 constant and sample e's accumulate the trajectory defects.
 
-            This is the TPU-first restructuring of the reference's 88-dim
-            stacked OCP (SNMPC_acados_settings.py dims nx=88): the sample
-            axis is a batched axis of 8-dim blocks, never a dense state.
+            Returns STRUCTURED pieces — the dense stacked Gamma is never
+            materialized (at batch 256 it is ~267 MB of HBM traffic per
+            step; measured 4.4 ms of the 8.7 ms build_qp, r3 dissect):
+
+              e_full   (N+1, ns1, 8)   trajectory defects, all copies
+              Gam_nom  (N+1, 8, nz)    nominal-block sensitivities
+              G_head   (uph_eff+1, ns1, 8, nz)  all copies, stages <= UPH
+              G_frozen (ns, 8, nz)     constant sample block, stages >= UPH
             """
             nz = N * self.nu
             ns = self.n_samples
@@ -246,16 +251,185 @@ class StochasticNMPC:
                      jnp.cumsum(xi[uph_eff:, 1:], axis=0)],
                     axis=0,
                 )                                        # (N2+1, ns, 8)
-                G_smp2 = jnp.broadcast_to(G_c[1:][None], (N2 + 1, ns, 8, nz))
                 e_tail2 = jnp.concatenate([e_nom2[:, None], e_smp2], axis=1)
-                G_tail2 = jnp.concatenate([G_nom2[:, None], G_smp2], axis=1)
                 e_full = jnp.concatenate([e_head[:-1], e_tail2], axis=0)
-                G_full = jnp.concatenate([G_head[:-1], G_tail2], axis=0)
+                Gam_nom = jnp.concatenate([G_head[:-1, 0], G_nom2], axis=0)
             else:
-                e_full, G_full = e_head, G_head
+                e_full = e_head
+                Gam_nom = G_head[:, 0]
 
+            return e_full, Gam_nom, G_head, G_c[1:]
+
+        self._lin_structured = lin_structured
+        self._uph_eff = max(0, min(uph, N))
+
+        def lin_condense(X, U, d0):
+            """Dense (N+1, nx, nz) condensing — assembled from the structured
+            pieces; kept for the structured-equals-dense CI anchor and any
+            generic-engine use."""
+            nz = N * self.nu
+            ns = self.n_samples
+            e_full, Gam_nom, G_head, G_frozen = lin_structured(X, U, d0)
+            H = G_head.shape[0]
+            G_smp = jnp.concatenate(
+                [
+                    G_head[:, 1:],
+                    jnp.broadcast_to(G_frozen[None], (N + 1 - H, ns, 8, nz)),
+                ],
+                axis=0,
+            )
+            G_full = jnp.concatenate([Gam_nom[:, None], G_smp], axis=1)
             return e_full.reshape(N + 1, self.nx), G_full.reshape(
                 N + 1, self.nx, nz
+            )
+
+        def build_qp_structured(X, U, x0, yref, yref_e, merged):
+            """Full QP assembly from the structured sensitivities — the dense
+            stacked Gamma is never formed, and every consumer contracts only
+            the blocks it actually depends on:
+
+              * cost rows touch the nominal copy only -> built directly as
+                rows of Gam_nom (the vel_abs row is the 2-term combination
+                c3*row3 + c4*row4), no (ny,88)@(88,nz) matmuls;
+              * chance-constraint rows depend on the samples only below the
+                UPH (5 nodes) and on the nominal block alone at the frozen
+                nodes (34 nodes) -> static node-range split;
+              * the input-box rows stay analytic identity rows (n_id).
+
+            r3 dissect motivation: the dense path spent 8.7 ms/step at batch
+            256 materializing + re-reading the (N+1, 88, nz) Gamma.
+            """
+            (W, We, con_lb, con_ub, con_z1, con_z2,
+             u_lb, u_ub, u_z1, u_z2) = merged
+            nz = N * self.nu
+            ns = self.n_samples
+            d0 = x0 - X[0]
+            e_full, Gam_nom, G_head, G_frozen = lin_structured(X, U, d0)
+            H = G_head.shape[0]                      # uph_eff + 1
+            c_split = min(uph, N + 1)                # first frozen node
+            xs = X.reshape(N + 1, ns1, 8)
+            e_nom = e_full[:, 0]                     # (N+1, 8)
+
+            # --- cost rows (nominal copy only) ---
+            xn = xs[:-1, 0]                          # (N, 8)
+            v_abs = jnp.sqrt(xn[:, 3] ** 2 + xn[:, 4] ** 2 + 1e-30)
+            c3, c4 = xn[:, 3] / v_abs, xn[:, 4] / v_abs
+            r_x = jnp.stack(
+                [
+                    xn[:, 0] - yref[:, 0] + e_nom[:N, 0],
+                    xn[:, 1] - yref[:, 1] + e_nom[:N, 1],
+                    wrap_2pi(xn[:, 2]) - yref[:, 2] + e_nom[:N, 2],
+                    v_abs - yref[:, 3] + c3 * e_nom[:N, 3] + c4 * e_nom[:N, 4],
+                ],
+                axis=1,
+            )                                        # (N, 4)
+            r_u = U - yref[:, 4:]
+            Mf = jnp.concatenate(
+                [
+                    Gam_nom[:N, 0:3, :],
+                    (c3[:, None] * Gam_nom[:N, 3, :] + c4[:, None] * Gam_nom[:N, 4, :])[:, None, :],
+                ],
+                axis=1,
+            )                                        # (N, 4, nz)
+            xT = xs[N, 0]
+            vT = jnp.sqrt(xT[3] ** 2 + xT[4] ** 2 + 1e-30)
+            cT3, cT4 = xT[3] / vT, xT[4] / vT
+            re0 = jnp.stack(
+                [
+                    xT[0] - yref_e[0] + e_nom[N, 0],
+                    xT[1] - yref_e[1] + e_nom[N, 1],
+                    wrap_2pi(xT[2]) - yref_e[2] + e_nom[N, 2],
+                    vT - yref_e[3] + cT3 * e_nom[N, 3] + cT4 * e_nom[N, 4],
+                ]
+            )
+            Me = jnp.concatenate(
+                [
+                    Gam_nom[N, 0:3, :],
+                    (cT3 * Gam_nom[N, 3, :] + cT4 * Gam_nom[N, 4, :])[None, :],
+                ],
+                axis=0,
+            )                                        # (4, nz)
+            Wx, Wu = W[:4], W[4:]
+            Mf2 = Mf.reshape(N * 4, nz)
+            wtsx = jnp.tile(Wx, N)
+            H0 = (
+                (Mf2 * wtsx[:, None]).T @ Mf2
+                + (Me * We[:, None]).T @ Me
+                + jnp.diag(jnp.tile(Wu, N))
+            )
+            g0 = (
+                Mf2.T @ (wtsx * r_x.reshape(-1))
+                + (Wu[None, :] * r_u).reshape(-1)
+                + Me.T @ (We * re0)
+            )
+
+            # --- constraint rows ---
+            h_all, dh_all = jax.vmap(jax.vmap(
+                lambda s: (h_of(s), jax.jacfwd(h_of)(s))
+            ))(xs)                                   # (N+1,ns1,nh), (N+1,ns1,nh,8)
+            coeff = jnp.einsum("ls,ksi->kli", A, h_all[:, 1:])   # (N+1, L, nh)
+            mean = coeff[:, 0]
+            var = jnp.sum(coeff[:, 1:] ** 2, axis=1)
+            sd = jnp.sqrt(var + 1e-30)
+            h_cc = mean + sd * kappa
+            wj = A[0][None, :, None] + kappa * jnp.einsum(
+                "kli,ls->ksi", coeff[:, 1:], A[1:]
+            ) / sd[:, None, :]                        # (N+1, ns, nh)
+
+            if c_split > 0:
+                # (c, ns, nh, 8): per-sample weight times the copy's h-Jacobian
+                Js = wj[:c_split, :, :, None] * dh_all[:c_split, 1:]
+                G_h_head = jnp.einsum(
+                    "ksir,ksrz->kiz", Js, G_head[:c_split, 1:]
+                )
+                c_h_head = h_cc[:c_split] + jnp.einsum(
+                    "ksir,ksr->ki", Js, e_full[:c_split, 1:]
+                )
+            if c_split <= N:
+                dh_nom = dh_all[c_split:, 0]          # (N+1-c, nh, 8)
+                G_h_froz = jnp.einsum(
+                    "kir,krz->kiz", dh_nom, Gam_nom[c_split:]
+                )
+                c_h_froz = h_all[c_split:, 0] + jnp.einsum(
+                    "kir,kr->ki", dh_nom, e_nom[c_split:]
+                )
+            if c_split == 0:
+                G_h, c_h = G_h_froz, c_h_froz
+            elif c_split > N:
+                G_h, c_h = G_h_head, c_h_head
+            else:
+                G_h = jnp.concatenate([G_h_head, G_h_froz], axis=0)
+                c_h = jnp.concatenate([c_h_head, c_h_froz], axis=0)
+
+            G_delta = Gam_nom[:, 6, :][:, None, :]    # (N+1, 1, nz)
+            c_delta = (xs[:, 0, 6] + e_nom[:, 6])[:, None]
+            G_c = jnp.concatenate([G_h, G_delta], axis=1)   # (N+1, nc, nz)
+            c0_c = jnp.concatenate([c_h, c_delta], axis=1)
+
+            from tum_control_tpu.ops.soft_qp import CondensedQP
+
+            G = G_c.reshape(-1, nz)
+            c0 = jnp.concatenate([c0_c.reshape(-1), U.reshape(-1)], axis=0)
+            lb = jnp.concatenate([con_lb.reshape(-1), u_lb.reshape(-1)])
+            ub = jnp.concatenate([con_ub.reshape(-1), u_ub.reshape(-1)])
+            z1 = jnp.concatenate([con_z1.reshape(-1), u_z1.reshape(-1)])
+            z2 = jnp.concatenate([con_z2.reshape(-1), u_z2.reshape(-1)])
+            qp = CondensedQP(H0=H0, g0=g0, G=G, c0=c0, lb=lb, ub=ub, z1=z1, z2=z2)
+            aux = (e_full, Gam_nom, G_head, G_frozen)
+            return qp, aux
+
+        def expand_dx(aux, w):
+            """dX = e + Gamma @ w from the structured pieces (the sample
+            blocks beyond the UPH share one constant sensitivity)."""
+            e_full, Gam_nom, G_head, G_frozen = aux
+            H = G_head.shape[0]
+            dx_nom = e_full[:, 0] + jnp.einsum("krz,z->kr", Gam_nom, w)
+            dx_head = e_full[:H, 1:] + jnp.einsum("ksrz,z->ksr", G_head[:, 1:], w)
+            dx_fr_blk = jnp.einsum("srz,z->sr", G_frozen, w)
+            dx_froz = e_full[H:, 1:] + dx_fr_blk[None]
+            dx_smp = jnp.concatenate([dx_head, dx_froz], axis=0)
+            return jnp.concatenate([dx_nom[:, None], dx_smp], axis=1).reshape(
+                N + 1, self.nx
             )
 
         def y_stage(k, x, u):
@@ -366,6 +540,8 @@ class StochasticNMPC:
                 lin_condense=lin_condense if structured else None,
                 con_jac=con_jac if structured else None,
                 y_jac=y_jac if structured else None,
+                build_qp=build_qp_structured if structured else None,
+                expand_dx=expand_dx if structured else None,
             ),
             N=N,
             nx=self.nx,

@@ -83,6 +83,19 @@ class OCPFunctions(NamedTuple):
     # optional analytic stage-output value+Jacobians:
     # (k, x, u) -> (Y (ny,), Jx (ny, nx), Ju (ny, nu)); same rationale.
     y_jac: Callable = None
+    # optional FULL custom QP assembly, bypassing the engine's generic
+    # linearize/condense/cost/constraint paths entirely:
+    #   build_qp(X, U, x0, yref, yref_e, merged) -> (CondensedQP, aux)
+    # where `merged` is the engine's merged weight/bound 10-tuple and `aux`
+    # is an opaque pytree consumed by expand_dx. Used by controllers whose
+    # sensitivity structure makes the dense (N+1, nx, nz) Gamma wasteful to
+    # materialize (SNMPC: block-sparse stacked samples + frozen tail — the
+    # dense Gamma is 267 MB of HBM traffic per batched step at batch 256).
+    # Engines using this hook return A_lin as zeros from solve_full.
+    build_qp: Callable = None
+    #   expand_dx(aux, w) -> dX (N+1, nx): the primal state update the dense
+    #   path computes as e + Gamma @ w. Required with build_qp.
+    expand_dx: Callable = None
 
 
 class RTIState(NamedTuple):
@@ -242,7 +255,14 @@ class RTIEngine:
         return H0, g0
 
     def _build_qp(self, state: RTIState, x0, yref, yref_e, mods=None, want_A=False):
-        W, We, con_lb, con_ub, con_z1, con_z2, u_lb, u_ub, u_z1, u_z2 = self._merged(mods)
+        merged = self._merged(mods)
+        if self.funcs.build_qp is not None:
+            qp, aux = self.funcs.build_qp(state.X, state.U, x0, yref, yref_e, merged)
+            A = jnp.zeros((self.N, self.nx, self.nx), dtype=state.X.dtype)
+            if want_A:
+                return qp, aux, None, A
+            return qp, aux, None
+        W, We, con_lb, con_ub, con_z1, con_z2, u_lb, u_ub, u_z1, u_z2 = merged
         N, nx, nu, nz = self.N, self.nx, self.nu, self.nz
         ks = jnp.arange(N)
         d0 = x0 - state.X[0]
@@ -432,7 +452,10 @@ class RTIEngine:
             )
             qp_iter_max = jnp.maximum(qp_iter_max, ipm_stats.iters)
             gap_last = ipm_stats.gap.astype(gap_last.dtype)
-            dX = e + jnp.einsum("kxz,z->kx", Gam, w)
+            if self.funcs.build_qp is not None:
+                dX = self.funcs.expand_dx(e, w)  # e holds the aux pytree here
+            else:
+                dX = e + jnp.einsum("kxz,z->kx", Gam, w)
             it_state = RTIState(
                 X=it_state.X + dX,
                 U=it_state.U + w.reshape(self.N, self.nu),
