@@ -32,7 +32,10 @@ def log(*a):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # batch 128 is the chip's saturation point (tools/batch_sweep.py r3:
+    # 64/128/256/512/1024 -> 106/169/159/145/127 k solves/s at 300 steps) —
+    # one lane group for the batch-in-lanes Pallas kernels
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     settle = 100  # 2 s warm-up: controller/estimator settle before metrics
 

@@ -18,6 +18,9 @@ def main():
     ap.add_argument("trials_csv")
     ap.add_argument("--out", default="data/F_new.csv")
     ap.add_argument("--per-group", type=int, default=13)
+    ap.add_argument("--max-lat", type=float, default=None,
+                    help="exclude Pareto points whose worst segment "
+                    "|lat_dev| exceeds this margin (catalog risk control)")
     ap.add_argument("--plot", default=None)
     ap.add_argument(
         "--surrogate-plot",
@@ -38,7 +41,8 @@ def main():
     print(f"loaded {len(bo.trials)} trials ({n_feas} any-group feasible)")
 
     table = export_parameter_sets(
-        bo.trials, args.out, n_per_group=args.per_group, per_group_files=True
+        bo.trials, args.out, n_per_group=args.per_group, per_group_files=True,
+        max_lat=args.max_lat,
     )
     print(f"exported {len(table)} parameter sets to {args.out} (+ per-group _0/_1)")
 

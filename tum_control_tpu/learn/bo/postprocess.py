@@ -42,17 +42,29 @@ def reduce_points(X: np.ndarray, Y: np.ndarray, n_clusters: int):
 
 
 def export_parameter_sets(
-    trials, path: str, n_per_group: int = 13, per_group_files: bool = False
+    trials,
+    path: str,
+    n_per_group: int = 13,
+    per_group_files: bool = False,
+    max_lat: float = None,
 ) -> np.ndarray:
     """Combined per-group reduced Pareto sets -> CSV rows of 7 params.
 
     With per_group_files=True also writes <stem>_0.csv / <stem>_1.csv, the
     reference's per-group catalogs (_parameters/F_0.csv, F_1.csv;
-    bo_postprocess_parameters.py writes combined + per-group)."""
+    bo_postprocess_parameters.py writes combined + per-group).
+
+    `max_lat` adds a feasibility margin for catalog candidacy (VERDICT r2
+    #6): Pareto points whose worst segment lateral deviation exceeds it are
+    excluded — the crash threshold (2.0 m) alone admits sets that ride too
+    close to it on full laps."""
     rows: List[np.ndarray] = []
     stem, ext = os.path.splitext(path)
     for group in (0, 1):
         X, Y = extract_pareto(trials, group)
+        if max_lat is not None and len(X):
+            m = Y[:, 0] >= -max_lat  # f0 = -max|lat_dev|
+            X, Y = X[m], Y[m]
         if len(X) == 0:
             continue
         Xr, _ = reduce_points(X, Y, n_per_group)
