@@ -270,6 +270,26 @@ def test_bo_candidates_always_finite_and_progress():
     n_feas = sum(bool(np.asarray(t.feasible).any()) for t in bo.trials[20:])
     assert n_feas > 0, "BO never proposed a feasible candidate on an easy problem"
 
+def test_bo_postprocess_max_lat_margin(tmp_path):
+    """The catalog risk margin (--max-lat) excludes Pareto points whose
+    worst segment |lat_dev| exceeds it (VERDICT r2 #6: crash threshold
+    alone admits sets riding too close to 2.0 m on full laps)."""
+    from tum_control_tpu.learn.bo.optimizer import Trial
+    from tum_control_tpu.learn.bo.postprocess import export_parameter_sets
+
+    # two non-dominated points per group: one safe (0.5 m), one risky (1.5 m)
+    safe = Trial(params=np.full(7, 1.0), objectives=np.array([[-0.5, -0.6]] * 2),
+                 feasible=np.array([True, True]), group=0)
+    risky = Trial(params=np.full(7, 9.0), objectives=np.array([[-1.5, -0.2]] * 2),
+                  feasible=np.array([True, True]), group=1)
+    out = tmp_path / "F_m.csv"
+    table = export_parameter_sets([safe, risky], str(out), n_per_group=4)
+    assert len(table) == 2  # no margin: both exported
+    table = export_parameter_sets([safe, risky], str(out), n_per_group=4, max_lat=1.0)
+    assert len(table) == 1
+    np.testing.assert_allclose(table[0], safe.params)
+
+
 def test_bo_postprocess_pareto_export(tmp_path):
     """Pareto extraction, reduction, and combined + per-group CSV export
     (reference BO_WMPC/postprocessing.py:12-91 + bo_postprocess_parameters.py:
