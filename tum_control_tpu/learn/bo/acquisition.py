@@ -75,12 +75,14 @@ def make_acquisition(
     front = front[np.argsort(-front[:, 0])]
     front_j = jnp.asarray(front)
     ref_j = jnp.asarray(ref)
-    keys = jax.random.split(key, 2)
+    # host copies: the acquisition runs on the CPU backend (host_device);
+    # device-committed keys inside a CPU-pinned jit would conflict
+    keys_np = np.asarray(jax.random.split(key, 2))
 
     def acq(X):
         # MC posterior samples of both objectives at the candidates
-        s0 = gp_sample(gps[0], X, keys[0], n_mc)  # (n_mc, m)
-        s1 = gp_sample(gps[1], X, keys[1], n_mc)
+        s0 = gp_sample(gps[0], X, jnp.asarray(keys_np[0]), n_mc)  # (n_mc, m)
+        s1 = gp_sample(gps[1], X, jnp.asarray(keys_np[1]), n_mc)
         f = jnp.stack([s0, s1], axis=-1)  # (n_mc, m, 2)
         hvi = jax.vmap(jax.vmap(lambda p: _hvi_candidate(p, front_j, ref_j)))(f)
         ehvi = hvi.mean(axis=0)  # (m,)
@@ -101,7 +103,15 @@ def optimize_acquisition(
     acq, d: int, q: int, key, n_raw: int = 512, n_polish: int = 60, lr: float = 0.02
 ):
     """Select q candidates in [0,1]^d: Sobol screen + Adam polish + greedy
-    de-duplication (approximate sequential selection)."""
+    de-duplication (approximate sequential selection). Runs on the host CPU
+    backend (see gp.host_device) — the acquisition math is tiny."""
+    from tum_control_tpu.learn.bo.gp import host_device
+
+    with host_device():
+        return _optimize_acquisition(acq, d, q, key, n_raw, n_polish, lr)
+
+
+def _optimize_acquisition(acq, d, q, key, n_raw, n_polish, lr):
     sob = qmc.Sobol(d, scramble=True, seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
     X0 = jnp.asarray(sob.random(n_raw))
     vals0 = acq(X0)
@@ -114,8 +124,8 @@ def optimize_acquisition(
     opt = optax.adam(lr)
     state = opt.init(X)
 
-    @jax.jit
-    def step(X, state):
+    def step(carry, _):
+        X, state = carry
         loss, g = jax.value_and_grad(lambda Z: -jnp.sum(acq(Z)))(X)
         upd, state = opt.update(g, state)
         X_new = jnp.clip(optax.apply_updates(X, upd), 0.0, 1.0)
@@ -124,10 +134,12 @@ def optimize_acquisition(
         # campaign silently evaluated NaN parameter vectors for every
         # BO-proposed trial because of this)
         X_new = jnp.where(jnp.isfinite(X_new), X_new, X)
-        return X_new, state
+        return (X_new, state), None
 
-    for _ in range(n_polish):
-        X, state = step(X, state)
+    # single dispatch for the polish loop (tunnel-RTT economics, see fit_gp)
+    X, state = jax.jit(
+        lambda x, s: jax.lax.scan(step, (x, s), None, length=n_polish)[0]
+    )(X, state)
 
     vals = np.asarray(acq(X))
     X_np = np.asarray(X)

@@ -17,6 +17,22 @@ import jax.numpy as jnp
 import optax
 
 
+def host_device():
+    """Context pinning computation to the host CPU backend.
+
+    The GP surrogate/acquisition math is tiny (n <= ~2000, d = 7) — on a
+    network-attached accelerator its many small dispatches and per-trial-
+    count recompiles are pure tunnel-latency waste (measured ~100 s per BO
+    iteration). Only the closed-loop objective evaluation belongs on the
+    accelerator."""
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:  # CPU-only environments: already there
+        return contextlib.nullcontext()
+
+
 class GPParams(NamedTuple):
     log_lengthscales: jnp.ndarray  # (d,)
     log_outputscale: jnp.ndarray   # ()
@@ -67,6 +83,11 @@ def _mll(params: GPParams, X, y):
 
 def fit_gp(X, y, n_steps: int = 300, lr: float = 0.05) -> GPData:
     """Fit hyperparameters and precompute the posterior factorization."""
+    with host_device():
+        return _fit_gp(X, y, n_steps, lr)
+
+
+def _fit_gp(X, y, n_steps: int, lr: float) -> GPData:
     X = jnp.asarray(X)
     y = jnp.asarray(y)
     y_mean, y_std = y.mean(), y.std() + 1e-8
@@ -80,8 +101,8 @@ def fit_gp(X, y, n_steps: int = 300, lr: float = 0.05) -> GPData:
     opt = optax.adam(lr)
     state = opt.init(params)
 
-    @jax.jit
-    def step(params, state):
+    def step(carry, _):
+        params, state = carry
         loss, g = jax.value_and_grad(lambda p: -_mll(p, X, ys))(params)
         upd, new_state = opt.update(g, state)
         new_params = optax.apply_updates(params, upd)
@@ -93,10 +114,15 @@ def fit_gp(X, y, n_steps: int = 300, lr: float = 0.05) -> GPData:
         keep = lambda n_, o_: jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), n_, o_
         )
-        return keep(new_params, params), keep(new_state, state), loss
+        return (keep(new_params, params), keep(new_state, state)), None
 
-    for _ in range(n_steps):
-        params, state, loss = step(params, state)
+    # one device dispatch for the whole fit: a python step loop pays one
+    # host round-trip per step, which on a network-attached accelerator
+    # (~27 ms RTT) dominated the whole BO iteration (measured ~100 s/iter)
+    run = jax.jit(
+        lambda p, s: jax.lax.scan(step, (p, s), None, length=n_steps)[0]
+    )
+    params, state = run(params, state)
 
     K = _K_train(params, X)
     L = jnp.linalg.cholesky(K)

@@ -170,6 +170,10 @@ class RTIEngine:
     ):
         self.lm_reg = lm_reg
         self.sqp_iters = sqp_iters
+        if (funcs.build_qp is None) != (funcs.expand_dx is None):
+            raise ValueError(
+                "OCPFunctions.build_qp and expand_dx must be provided together"
+            )
         self.funcs = funcs
         self.N, self.nx, self.nu = N, nx, nu
         self.nz = N * nu
