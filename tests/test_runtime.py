@@ -39,3 +39,27 @@ def test_deadline_miss_detection():
     ex.begin_cycle()
     assert ex.stats()["deadline_misses"] >= 1
     ex.close()
+
+
+def test_deploy_rt_pipelined_smoke(tmp_path):
+    """deploy_rt --pipeline N end-to-end on CPU: all cycles recorded, no
+    solver failures, telemetry exported (the async serving mode that hides
+    network-attached-accelerator RTT — VERDICT r2 #8)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tele = str(tmp_path / "tele.bin")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy_rt.py"), "--cpu",
+         "--cycles", "20", "--pipeline", "2", "--period", "0.02",
+         "--telemetry", tele],
+        capture_output=True, text=True, timeout=480,
+        env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pipeline=2" in out.stdout
+    rec = read_telemetry(tele)
+    assert rec.shape[0] == 20
+    assert (rec["status"] == 0).all()
