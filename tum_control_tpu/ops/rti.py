@@ -374,8 +374,11 @@ class RTIEngine:
         else:
             C = jax.vmap(self.funcs.con_stage)(kall, state.X)      # (N+1, nc)
             Jc = jax.vmap(jax.jacfwd(self.funcs.con_stage, argnums=1))(kall, state.X)
-        c0_c = C + jnp.einsum("kij,kj->ki", Jc, e)
-        G_c = jnp.einsum("kij,kjz->kiz", Jc, Gam)                  # (N+1, nc, nz)
+        # VPU lowering: these are degenerate MXU shapes (per-node (nc, nx)
+        # contractions, nc = 2) — broadcast-multiply + reduce avoids ~10k
+        # tiny batched matmuls per step (same rationale as soft_qp._mv)
+        c0_c = C + jnp.sum(Jc * e[:, None, :], axis=-1)
+        G_c = jnp.sum(Jc[..., None] * Gam[:, None, :, :], axis=2)  # (N+1, nc, nz)
 
         # input-box rows have Jacobian E = I over w; they are handled
         # analytically inside the QP solvers (n_id = nz) — only the general
@@ -459,7 +462,7 @@ class RTIEngine:
             if self.funcs.build_qp is not None:
                 dX = self.funcs.expand_dx(e, w)  # e holds the aux pytree here
             else:
-                dX = e + jnp.einsum("kxz,z->kx", Gam, w)
+                dX = e + jnp.sum(Gam * w[None, None, :], axis=-1)
             it_state = RTIState(
                 X=it_state.X + dX,
                 U=it_state.U + w.reshape(self.N, self.nu),
