@@ -69,7 +69,9 @@ def test_two_process_cpu_mesh_closed_loop():
 
 
 def test_four_process_cpu_mesh_closed_loop():
-    """4 coordinated OS processes x 2 virtual devices each — the N>=2-hosts
+    """4 coordinated OS processes x 1 virtual device each — the N>=2-hosts
     scaling-evidence shape of BASELINE.md, one step wider than the 2-process
-    case (VERDICT r2 #5)."""
-    _run_mesh(nproc=4, ndev=2)
+    case (VERDICT r2 #5). One device per process keeps the Gloo pair count
+    low enough that 4 concurrently-compiling ranks on this 2-core container
+    connect within the transport timeout even under background load."""
+    _run_mesh(nproc=4, ndev=1)
