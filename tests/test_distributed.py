@@ -24,9 +24,17 @@ def _free_port():
     return port
 
 
-def _run_mesh(nproc: int, ndev: int, controller: str = "nominal"):
+def _run_mesh(nproc: int, ndev: int, controller: str = "nominal", sym_compile: bool = False):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    if sym_compile:
+        # Gloo pairs connect at the FIRST collective with a fixed transport
+        # timeout. With a shared persistent compile cache, ranks that
+        # cache-hit reach the collective minutes before ranks that compile
+        # cold (whoever wins the first-write race), and the late ranks'
+        # connects time out. Disabling the cache makes every rank compile —
+        # concurrent, symmetric, skew within the transport timeout.
+        env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(i), str(nproc), str(port), str(ndev), controller],
@@ -72,6 +80,7 @@ def test_four_process_cpu_mesh_closed_loop():
     """4 coordinated OS processes x 1 virtual device each — the N>=2-hosts
     scaling-evidence shape of BASELINE.md, one step wider than the 2-process
     case (VERDICT r2 #5). One device per process keeps the Gloo pair count
-    low enough that 4 concurrently-compiling ranks on this 2-core container
-    connect within the transport timeout even under background load."""
-    _run_mesh(nproc=4, ndev=1)
+    low; symmetric (cache-free) compiles keep the 4 ranks' arrival at the
+    first collective within the transport's connect timeout on this 2-core
+    container."""
+    _run_mesh(nproc=4, ndev=1, sym_compile=True)
