@@ -79,13 +79,15 @@ def main():
                 carry, log = step(carry, (jnp.array(i), zeros7, zeros7))
                 for a in (log.simU, log.simSolverDebug, log.lat_dev, log.vel_dev):
                     a.copy_to_host_async()
-                inflight.append(log)
+                inflight.append((time.perf_counter_ns(), log))
             if is_retire:
-                lg = inflight.popleft()
-                t_solve = time.perf_counter_ns()
+                # solve_ns in pipelined mode = dispatch-to-retire latency of
+                # the retired step (the true sensor-to-actuator age of the
+                # control being applied), not the near-zero host-copy read.
+                t_disp, lg = inflight.popleft()
                 u = np.asarray(lg.simU)        # step (i - pipeline)'s result
                 dbg = np.asarray(lg.simSolverDebug)
-                solve_ns = time.perf_counter_ns() - t_solve
+                solve_ns = time.perf_counter_ns() - t_disp
                 ex.record(
                     t0, solve_ns, int(dbg[4]), float(dbg[0]),
                     float(np.asarray(lg.lat_dev)), float(np.asarray(lg.vel_dev)),
@@ -104,9 +106,13 @@ def main():
             )
     stats = ex.stats()
     print(stats)
-    budget_ms = args.period * 1e3
+    # pipelined solve_ns is dispatch-to-retire (sensor-to-actuator age),
+    # which by construction includes the N-period pipeline delay — compare
+    # it against the (N+1)-period envelope; synchronous mode against Ts.
+    budget_ms = args.period * 1e3 * (args.pipeline + 1 if args.pipeline else 1)
     print(
-        f"p99 solve {stats['solve_ms_p99']:.3f} ms vs {budget_ms:.0f} ms budget; "
+        f"p99 solve {stats['solve_ms_p99']:.3f} ms vs {budget_ms:.0f} ms "
+        f"{'sensor-to-actuator ' if args.pipeline else ''}budget; "
         f"misses {stats['deadline_misses']}/{stats['cycles']}"
     )
     if args.telemetry:

@@ -64,18 +64,59 @@ def main():
         playback = load_playback(args.logs_path, sim_cfg.playback_log_file, n_steps)
         print(f"replaying disturbances from {sim_cfg.playback_log_file}")
 
-    run = jax.jit(
-        lambda key: sim.run(x0_mpc, x0_sim, n_steps, key=key, playback=playback)
-    )
-    key = jax.random.PRNGKey(args.seed)
-    t0 = time.time()
-    carry, sim_log = run(key)
-    jax.block_until_ready(sim_log.lat_dev)
-    wall = time.time() - t0
-    print(f"simulated {n_steps} steps in {wall:.2f}s "
-          f"({wall / n_steps * 1e3:.3f} ms/step incl. compile)")
+    # Chunked execution: XLA can't time individual solves in-graph, so the
+    # run is split into jitted chunks and each chunk's host wall time is
+    # spread over its steps into simSolverDebug[:, 1] — the analog of the
+    # acados per-solve time_tot the reference logs (NMPC_class.py:202-206).
+    import numpy as np
 
-    logs = assemble_logs(sim_log, x0_mpc, x0_sim, sim_cfg.T)
+    chunk = max(1, min(250, n_steps))
+    sizes = [chunk] * (n_steps // chunk)
+    if n_steps % chunk:
+        sizes.append(n_steps % chunk)
+
+    runners = {}
+
+    def get_runner(sz):
+        if sz not in runners:
+            runners[sz] = jax.jit(
+                lambda c, pb, _sz=sz: sim.run_from(c, _sz, playback=pb)
+            )
+        return runners[sz]
+
+    def pb_slice(pos, sz):
+        if playback is None:
+            return None
+        return (playback[0][pos : pos + sz], playback[1][pos : pos + sz])
+
+    key = jax.random.PRNGKey(args.seed)
+    # compile all chunk shapes outside the timed region
+    warm = sim.init_carry(x0_mpc, x0_sim, key)
+    for sz in sorted(set(sizes)):
+        w, _ = get_runner(sz)(warm, pb_slice(0, sz))
+    jax.block_until_ready(w.x_sim)
+
+    carry = sim.init_carry(x0_mpc, x0_sim, key)
+    chunk_logs, step_times = [], []
+    pos = 0
+    t0 = time.time()
+    for sz in sizes:
+        tc = time.time()
+        carry, lg = get_runner(sz)(carry, pb_slice(pos, sz))
+        jax.block_until_ready(lg.lat_dev)
+        step_times.append(np.full(sz, (time.time() - tc) / sz))
+        chunk_logs.append(lg)
+        pos += sz
+    wall = time.time() - t0
+    sim_log = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *chunk_logs)
+    print(f"simulated {n_steps} steps in {wall:.2f}s "
+          f"({wall / n_steps * 1e3:.3f} ms/step, compile excluded)")
+
+    logs = assemble_logs(
+        sim_log, x0_mpc, x0_sim, sim_cfg.T,
+        step_times=np.concatenate(step_times),
+    )
+    wmpc_sets = getattr(sim.controller, "param_table", None)
     evaluation(
         logs,
         logs_path=args.logs_path,
@@ -83,6 +124,7 @@ def main():
         save=sim_cfg.save_logs,
         make_plots=not args.no_plots,
         wall_time=wall,
+        wmpc_sets=wmpc_sets,
     )
 
 

@@ -54,6 +54,49 @@ def test_live_viz_replay_and_gif(tmp_path):
     assert n1 >= 1
 
 
+def test_log_parity_solve_time_and_wmpc_trace(tmp_path):
+    """simSolverDebug[:,1] must carry real (nonzero) per-solve times and a
+    WMPC run must export RL_WMPC_logs.npz with the action trace — the
+    reference logs acados time_tot (NMPC_class.py:202-206) and the WMPC
+    action/weight-set trace (Logging_Plotting.py:284-287)."""
+    from tum_control_tpu.eval.logger import evaluation
+
+    n = 45  # > 2 weight-update periods
+    cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    mpc = MPCConfig(
+        controller="nominal",
+        enable_WMPC=True,
+        WMPC_model="data/wmpc_models/new_BO_F",
+        weights_update_period=20,
+    )
+    if not os.path.exists("data/wmpc_models/new_BO_F"):
+        import pytest
+
+        pytest.skip("converted model missing")
+    sim, x0m, x0s, *_ = build_simulation(cfg, mpc)
+    _, log = jax.jit(lambda: sim.run(x0m, x0s, n, key=jax.random.PRNGKey(0)))()
+    times = np.full(n, 1.25e-3)
+    logs = assemble_logs(log, x0m, x0s, cfg.T, step_times=times)
+    assert (logs["simSolverDebug"][:, 1] > 0).all()
+    np.testing.assert_allclose(logs["simSolverDebug"][:, 1], times)
+    assert logs["RL_actions"].shape == (n,)
+    assert (logs["RL_actions"] >= 0).all()
+    # after the first update period the policy must have picked an action
+    assert len(np.unique(logs["RL_actions"])) >= 1
+
+    evaluation(
+        logs, logs_path=str(tmp_path), run_name="w", save=True,
+        make_plots=False, timestamp=False,
+        wmpc_sets=sim.controller.param_table,
+    )
+    d = np.load(str(tmp_path / "w" / "RL_WMPC_logs.npz"))
+    assert d["RL_actions"].shape == (n,)
+    assert d["WMPC_sets"].shape[1] == 7
+    full = np.load(str(tmp_path / "w" / "full_logs.npz"))
+    assert "RL_actions" not in full
+    assert (full["simSolverDebug"][:, 1] > 0).all()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from tum_control_tpu.utils.checkpoint import load_pytree, save_pytree
 

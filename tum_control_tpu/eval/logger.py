@@ -29,8 +29,14 @@ def lon_lat_deviations(ego_yaw, ego_x, ego_y, ref_x, ref_y):
     return dev_long, dev_lat
 
 
-def assemble_logs(sim_log, x0_mpc, x0_sim, T: float) -> dict:
-    """SimLog scan outputs (device) -> reference-named numpy arrays."""
+def assemble_logs(sim_log, x0_mpc, x0_sim, T: float, step_times=None) -> dict:
+    """SimLog scan outputs (device) -> reference-named numpy arrays.
+
+    `step_times` (seconds, shape (Nsim,) or broadcastable) fills
+    simSolverDebug[:, 1] — the reference stores acados' per-solve
+    `time_tot` there (NMPC_class.py:202-206); in-graph timing is not
+    possible under XLA, so the entry points measure chunked host wall
+    time and merge it here."""
     g = lambda a: np.asarray(a)
     Nsim = g(sim_log.simU).shape[0]
 
@@ -51,12 +57,16 @@ def assemble_logs(sim_log, x0_mpc, x0_sim, T: float) -> dict:
     )
     a_lat = CiLX[:, 3] * CiLX[:, 5]
 
-    return {
+    dbg = g(sim_log.simSolverDebug).copy()
+    if step_times is not None:
+        dbg[:, 1] = np.broadcast_to(np.asarray(step_times), (Nsim,))
+
+    out = {
         "MPC_SimX": MPC_SimX,
         "CiLX": CiLX,
         "simU": g(sim_log.simU),
         "simREF": simREF,
-        "simSolverDebug": g(sim_log.simSolverDebug),
+        "simSolverDebug": dbg,
         "sim_disturbance_derivatives": g(sim_log.dist_deriv),
         "sim_disturbance_state_estimation": g(sim_log.dist_se),
         "a_lat": a_lat,
@@ -67,6 +77,11 @@ def assemble_logs(sim_log, x0_mpc, x0_sim, T: float) -> dict:
         "t": np.linspace(0.0, T, Nsim),
         "DisturbedX": DisturbedX,  # extra vs reference npz (harmless)
     }
+    # WMPC action trace (valid iff a weights-varying policy ran)
+    act = g(getattr(sim_log, "wmpc_action", np.full(Nsim, -1)))
+    if (act >= 0).any():
+        out["RL_actions"] = act
+    return out
 
 
 def save_logs(logs: dict, filepath: str) -> None:
@@ -82,6 +97,7 @@ def evaluation(
     make_plots: bool = True,
     wall_time: float = None,
     timestamp: bool = True,
+    wmpc_sets=None,
 ) -> dict:
     """Print run statistics, save full_logs.npz, generate plots.
 
@@ -116,7 +132,15 @@ def evaluation(
             name += datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         run_dir = os.path.join(logs_path, name)
         os.makedirs(run_dir, exist_ok=True)
-        save_logs(logs, os.path.join(run_dir, "full_logs.npz"))
+        # WMPC trace goes to its own file, as in the reference
+        # (Logging_Plotting.py:284-287: t, RL_actions, WMPC_sets)
+        main_logs = {k: v for k, v in logs.items() if k != "RL_actions"}
+        if "RL_actions" in logs:
+            wmpc = {"t": logs["t"], "RL_actions": logs["RL_actions"]}
+            if wmpc_sets is not None:
+                wmpc["WMPC_sets"] = np.asarray(wmpc_sets)
+            np.savez(os.path.join(run_dir, "RL_WMPC_logs.npz"), **wmpc)
+        save_logs(main_logs, os.path.join(run_dir, "full_logs.npz"))
         if make_plots:
             from tum_control_tpu.eval import plots
 

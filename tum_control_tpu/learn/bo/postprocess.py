@@ -16,13 +16,21 @@ from sklearn.cluster import KMeans
 from tum_control_tpu.learn.bo.acquisition import pareto_mask
 
 
-def extract_pareto(trials, group: int):
-    """(params (k,7), objectives (k,2)) of the group's Pareto-optimal trials."""
+def extract_pareto(trials, group: int, max_lat: float = None):
+    """(params (k,7), objectives (k,2)) of the group's Pareto-optimal trials.
+
+    `max_lat` filters trials *before* the Pareto mask: a safe point that is
+    dominated only by an over-the-margin risky point must re-enter the
+    front once the risky point is excluded, so the margin is a candidacy
+    constraint on the trial pool, not a post-hoc front filter."""
     import numpy as _np
 
     ok = lambda t: bool(_np.asarray(t.feasible).reshape(-1)[group])
     X = np.asarray([t.params for t in trials if ok(t)])
     Y = np.asarray([t.objectives[group] for t in trials if ok(t)])
+    if len(X) and max_lat is not None:
+        m = Y[:, 0] >= -max_lat  # f0 = -max|lat_dev|
+        X, Y = X[m], Y[m]
     if len(X) == 0:
         return X.reshape(0, 7), Y.reshape(0, 2)
     m = pareto_mask(Y)
@@ -61,10 +69,7 @@ def export_parameter_sets(
     rows: List[np.ndarray] = []
     stem, ext = os.path.splitext(path)
     for group in (0, 1):
-        X, Y = extract_pareto(trials, group)
-        if max_lat is not None and len(X):
-            m = Y[:, 0] >= -max_lat  # f0 = -max|lat_dev|
-            X, Y = X[m], Y[m]
+        X, Y = extract_pareto(trials, group, max_lat=max_lat)
         if len(X) == 0:
             continue
         Xr, _ = reduce_points(X, Y, n_per_group)

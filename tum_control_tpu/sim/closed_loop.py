@@ -61,6 +61,7 @@ class SimLog(NamedTuple):
     vel_dev: jnp.ndarray         # ()
     dist_deriv: jnp.ndarray      # (7,) applied derivative disturbance
     dist_se: jnp.ndarray         # (7,) applied measurement noise
+    wmpc_action: jnp.ndarray     # () int32 active WMPC weight-set index (-1 if no WMPC)
 
 
 class ClosedLoopSim:
@@ -191,6 +192,13 @@ class ClosedLoopSim:
             vel_dev=vel_dev,
             dist_deriv=w_deriv,
             dist_se=w_se,
+            # WMPC action trace (reference RL_actions, Logging_Plotting.py:
+            # 182-191); -1 marks a run without a weights-varying policy
+            wmpc_action=(
+                extra.action
+                if extra is not None and hasattr(extra, "action")
+                else jnp.full((), -1, jnp.int32)
+            ),
         )
         new_carry = SimCarry(
             ctrl_state=ctrl_state,
