@@ -82,12 +82,15 @@ def main():
     log(f"solver ok fraction: {ok_frac:.4f}; lat_dev p50/p99: "
         f"{np.percentile(lat, 50):.3f}/{np.percentile(lat, 99):.3f} m")
 
-    # single-stream latency for reference
+    # single-stream latency for reference (force a host fetch of the result:
+    # through the axon tunnel block_until_ready alone has been observed to
+    # return early on a second identical-args call)
     run_1 = jax.jit(lambda a, b: sim.run(a, b, steps))
-    run_1(x0m, x0s)  # compile
+    c1, l1 = run_1(x0m, x0s)  # compile
+    float(np.asarray(l1.lat_dev).sum())
     t0 = time.time()
-    c1, l1 = run_1(x0m, x0s)
-    jax.block_until_ready(l1.lat_dev)
+    c1, l1 = run_1(x0m + 1e-6, x0s + 1e-6)
+    s = float(np.asarray(l1.lat_dev).sum())
     log(f"single-stream per-step latency: {(time.time()-t0)/steps*1e3:.3f} ms")
 
     # --- SNMPC / R2NMPC batched throughput (BASELINE.md: SNMPC 6.178 ms

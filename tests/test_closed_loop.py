@@ -33,6 +33,67 @@ def test_controller_tracks_monteblanco(controller):
     assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9
 
 
+@pytest.mark.parametrize("shape", [0, 1])
+def test_gg_shapes_separate_and_diamond_closed_loop(shape):
+    """Closed-loop gates for the gg constraint shapes the default config
+    never exercises: 0 = separate lon/lat rows, 1 = diamond
+    (NMPC_STM_acados_settings.py:79-119; circle (2) is covered by every
+    other closed-loop test). Each shape must track Monteblanco and respect
+    its own normalized-acceleration envelope."""
+    n = 150
+    sim_cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    carry, log, *_ = _run(sim_cfg, MPCConfig(combined_acc_limits=shape), n)
+    status = np.array(log.simSolverDebug[:, 4])
+    assert np.all(status == 0)
+    assert float(jnp.max(jnp.abs(log.lat_dev))) < 0.15
+    assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9
+    # the plant trace must respect the shape's envelope (small slack
+    # tolerance: the rows are L1/L2-softened, as in the reference)
+    from tum_control_tpu import config as cm
+    from tum_control_tpu.config import load_gg_table
+    from tum_control_tpu.controllers.common import GGTables
+
+    gg = GGTables(*load_gg_table(cm.DEFAULT_CONFIG_PATH, "EDGAR/ggv.csv"))
+    X = np.array(log.MPC_SimX)  # (n, 8) controller-side states
+    v = np.sqrt(X[:, 3] ** 2 + X[:, 4] ** 2)
+    a_lon, a_lat = X[:, 7], X[:, 3] * X[:, 5]
+    ax_max = np.where(a_lon < 0, 3.5, np.interp(v, np.asarray(gg.vel), np.asarray(gg.ax_max)))  # -acc_min = 3.5 (veh_params_pred.yaml:20)
+    ay_max = np.interp(v, np.asarray(gg.vel), np.asarray(gg.ay_max))
+    rlon, rlat = a_lon / ax_max, a_lat / ay_max
+    if shape == 0:
+        assert np.max(np.abs(rlon)) < 1.05 and np.max(np.abs(rlat)) < 1.05
+    else:
+        assert np.max(np.abs(rlon + rlat)) < 1.05
+        assert np.max(np.abs(rlon - rlat)) < 1.05
+
+
+def test_wmpc_wraps_snmpc_closed_loop():
+    """WMPC over SNMPC: the reference duplicates its WMPC block inside
+    SNMPC_class.py:135-176 too; the wrapper must compose with the stacked
+    PCE state and actually switch weights (VERDICT r3 weak #6)."""
+    import os
+
+    if not os.path.exists("data/wmpc_models/new_BO_F"):
+        pytest.skip("converted model missing")
+    n = 45  # > 2 weight-update periods
+    sim_cfg = SimConfig(sim_mode=0, T=n * 0.02)
+    mpc_cfg = MPCConfig(
+        controller="snmpc",
+        enable_WMPC=True,
+        WMPC_model="data/wmpc_models/new_BO_F",
+        weights_update_period=20,
+    )
+    carry, log, *_ = _run(sim_cfg, mpc_cfg, n)
+    status = np.array(log.simSolverDebug[:, 4])
+    assert np.all(status == 0)
+    assert float(jnp.max(jnp.abs(log.lat_dev))) < 0.2
+    acts = np.array(log.wmpc_action)
+    assert acts.shape == (n,) and np.all(acts >= 0)
+    # the policy must have run at least twice (two update periods)
+    W_now = np.asarray(carry.extra.W)
+    assert W_now.shape == (6,) and np.all(np.isfinite(W_now))
+
+
 def test_external_cost_closed_loop_lap():
     """EXTERNAL ego-frame lon/lat cost with anisotropic weights tracks
     Monteblanco closed-loop (the reference's dev_lonlat formulation,
@@ -155,6 +216,7 @@ def test_stochastic_controllers_30s_quality_regression(controller):
     assert float(jnp.max(jnp.abs(log.simU[:, 1]))) <= 0.322 + 1e-9
 
 
+@pytest.mark.slow
 def test_wmpc_beats_static_weights():
     """Weights-varying MPC quality gate (VERDICT r2 #3): the converted
     reference policy (new_BO_F) must beat the static MPC_params.yaml weights
@@ -194,6 +256,40 @@ def test_statistics_vs_golden(golden_nmpc_log):
     o_u = np.array(log.simU)
     assert np.abs(o_u[:, 1]).max() <= 0.322 + 1e-9
     assert np.abs(o_u[:, 0]).max() < 3.0 * max(np.abs(g_u[:, 0]).max(), 1.0)
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+def test_snmpc_statistics_vs_golden_fitted_tires():
+    """SNMPC golden attribution gate (VERDICT r3 #6): with the committed
+    2023-fit tires (tools/golden_attribution.py) and the golden run's own
+    config (n_samples=10, UPH=15), the full 120 s Monteblanco SNMPC lap must
+    statistically match the ACC24 SNMPC golden
+    (SNMPC_FnodistSE_n10uph15...16-03-35/full_logs.npz)."""
+    import os
+
+    golden = (
+        "/root/reference/Papers_Plots/ACC24_SNMPC/"
+        "SNMPC_FnodistSE_n10uph15v0.8vlt0.35yrt0.035p0.82023-09-17_16-03-35/"
+        "full_logs.npz"
+    )
+    if not os.path.exists(golden):
+        pytest.skip("reference golden logs unavailable")
+    d = np.load(golden)
+    n = d["simU"].shape[0]
+    sim_cfg = SimConfig(
+        sim_mode=0, T=n * 0.02,
+        tire_params_file_MPC="EDGAR/pacejka_params_2023fit.yaml",
+        tire_params_file_simulator="EDGAR/pacejka_params_2023fit.yaml",
+    )
+    mpc_cfg = MPCConfig(controller="snmpc", uncertainty_propagation_horizon=15)
+    carry, log, *_ = _run(sim_cfg, mpc_cfg, n)
+    assert np.all(np.array(log.simSolverDebug[:, 4]) == 0)
+    g_mean = np.abs(d["dev_lat"][:n]).mean()
+    o_mean = np.abs(np.array(log.lat_dev)).mean()
+    # statistical match: mean dev_lat within 15% of the golden's
+    assert abs(o_mean - g_mean) / g_mean < 0.15, (o_mean, g_mean)
+    assert np.abs(np.array(log.lat_dev)).max() < 1.1 * np.abs(d["dev_lat"]).max()
 
 
 @pytest.mark.parametrize("track", ["modena", "lvms"])

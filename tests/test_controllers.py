@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tum_control_tpu.api import build_controller
 from tum_control_tpu.config import MPCConfig, SimConfig
@@ -49,6 +50,7 @@ def test_rnmpc_one_step_delayed_tightening():
     assert np.all(np.diff(cs) >= -1e-12)
 
 
+@pytest.mark.slow
 def test_snmpc_structured_condense_equals_dense():
     """The structured (block-sparse, two-phase) linearize+condense must be
     numerically identical to the dense 88-dim stacked-state path — the QP is

@@ -72,10 +72,12 @@ def _run_mesh(nproc: int, ndev: int, controller: str = "nominal", sym_compile: b
     assert float(results[0][0]) < 1.0
 
 
+@pytest.mark.slow
 def test_two_process_cpu_mesh_closed_loop():
     _run_mesh(nproc=2, ndev=4)
 
 
+@pytest.mark.slow
 def test_four_process_cpu_mesh_closed_loop():
     """4 coordinated OS processes x 1 virtual device each — the N>=2-hosts
     scaling-evidence shape of BASELINE.md, one step wider than the 2-process

@@ -233,6 +233,7 @@ def test_rlenv_propagates_extra_over_rnmpc_base():
     assert np.isfinite(float(reward))
 
 
+@pytest.mark.slow
 def test_bo_candidates_always_finite_and_progress():
     """BO pipeline on a synthetic objective: every proposed candidate must
     be finite (the r1 campaign silently evaluated NaN parameter vectors for

@@ -36,6 +36,7 @@ def test_make_mesh_and_shard_batch(sim_bundle):
     assert x0m_s.addressable_shards[0].data.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_sharded_run_matches_single_device(sim_bundle):
     """Data parallelism must not change the semantics: per-scenario results
     of a sharded batched run match the unsharded vmapped run. (Not bitwise:
@@ -68,6 +69,7 @@ def test_sharded_run_matches_single_device(sim_bundle):
     assert (np.array(log_sh.simSolverDebug[..., 4]) == 0).all()
 
 
+@pytest.mark.slow
 def test_scaling_report_shape(sim_bundle):
     sim, traj = sim_bundle
     rep = scaling_report(sim, traj, device_counts=[1, 2], batch_per_device=4, steps=3)

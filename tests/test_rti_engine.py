@@ -67,6 +67,7 @@ def test_linear_update_consistent_with_dynamics():
     assert np.abs(defects).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_sqp_fixed_point_is_nlp_minimum():
     """Iterated RTI at a frozen (x0, ref) converges; at the fixed point the
     exact-penalty NLP objective is stationary w.r.t. all controls (FD check)."""
@@ -192,6 +193,7 @@ def test_external_matches_ls_when_isotropic_differs_when_not():
     assert np.abs(ani_ext - ani_ls).max() > 1e-3, "EXTERNAL ignored the lon/lat rotation"
 
 
+@pytest.mark.slow
 def test_multi_sqp_iteration_equals_repeated_rti():
     """sqp_iters=K per control step (the acados SQP mode used by the
     reference's EXTERNAL variant, NMPC_STM_acados_settings_dev_lonlat.py:

@@ -41,6 +41,7 @@ def test_deadline_miss_detection():
     ex.close()
 
 
+@pytest.mark.slow
 def test_deploy_rt_pipelined_smoke(tmp_path):
     """deploy_rt --pipeline N end-to-end on CPU: all cycles recorded, no
     solver failures, telemetry exported (the async serving mode that hides

@@ -37,6 +37,7 @@ from tum_control_tpu.controllers.common import (
     N_H,
     acc_bounds,
     acc_constraints,
+    acc_constraints_jac,
     wrap_2pi,
 )
 from tum_control_tpu.controllers.nominal import HARD_Z2, ControllerOutput
@@ -189,27 +190,43 @@ class StochasticNMPC:
             """
             nz = N * self.nu
             ns = self.n_samples
+            uph_eff = max(0, min(uph, N))
+            ue = uph_eff
             Xs = X[:-1].reshape(N, ns1, 8)
             Xn = X[1:].reshape(N, ns1, 8)
 
-            XU = jnp.concatenate(
-                [Xs, jnp.broadcast_to(U[:, None, :], (N, ns1, self.nu))], axis=-1
-            ).reshape(N * ns1, 8 + self.nu)
-            F_flat, J_flat = lin_roll8(XU)               # Pallas kernel on TPU
-            F_all = F_flat.reshape(N, ns1, 8)
-            J_all = J_flat.reshape(N, ns1, 8, 8 + self.nu)
-            A_blk, B_blk = J_all[..., :8], J_all[..., 8:]
+            # Rollout+sensitivity only where sensitivities are consumed:
+            # stages < UPH propagate all copies, frozen stages evolve just
+            # the nominal copy (samples are identity maps) — ue*ns1 + (N-ue)
+            # kernel elements instead of N*ns1 (88 vs 418 at the shipped
+            # uph=5, n_samples=10, N=38; VERDICT r3 #1b).
+            XU_head = jnp.concatenate(
+                [Xs[:ue], jnp.broadcast_to(U[:ue, None, :], (ue, ns1, self.nu))],
+                axis=-1,
+            ).reshape(ue * ns1, 8 + self.nu)
+            XU_tail = jnp.concatenate([Xs[ue:, 0], U[ue:]], axis=-1)  # (N-ue, 10)
+            F_flat, J_flat = lin_roll8(
+                jnp.concatenate([XU_head, XU_tail], axis=0)
+            )                                            # Pallas kernel on TPU
+            F_head = F_flat[: ue * ns1].reshape(ue, ns1, 8)
+            J_head = J_flat[: ue * ns1].reshape(ue, ns1, 8, 8 + self.nu)
+            A_blk, B_blk = J_head[..., :8], J_head[..., 8:]
+            F_tailn = F_flat[ue * ns1 :]                 # (N-ue, 8) nominal
+            J_tailn = J_flat[ue * ns1 :]
+            A_tailn, B_tailn = J_tailn[..., :8], J_tailn[..., 8:]
 
-            fr = stop[:N] == 1.0                         # (N,) frozen flags
-            mean_next = jnp.einsum("s,ksi->ki", A0, F_all[:, 1:])
-            nom_next = jnp.where(fr[:, None], F_all[:, 0], mean_next)
-            smp_next = jnp.where(fr[:, None, None], Xs[:, 1:], F_all[:, 1:])
-            F_eff = jnp.concatenate([nom_next[:, None], smp_next], axis=1)
-            xi = F_eff - Xn                              # (N, ns1, 8)
+            # head defects: nominal next = PCE mean of propagated samples
+            mean_next = jnp.einsum("s,ksi->ki", A0, F_head[:, 1:])
+            xi = jnp.concatenate(
+                [(mean_next - Xn[:ue, 0])[:, None], F_head[:, 1:] - Xn[:ue, 1:]],
+                axis=1,
+            )                                            # (ue, ns1, 8)
+            # tail defects: nominal plain RK4; samples frozen (identity)
+            xi_tailn = F_tailn - Xn[ue:, 0]              # (N-ue, 8)
+            xi_tails = Xs[ue:, 1:] - Xn[ue:, 1:]         # (N-ue, ns, 8)
 
             d0b = d0.reshape(ns1, 8)
             G0 = jnp.zeros((ns1, 8, nz), dtype=X.dtype)
-            uph_eff = max(0, min(uph, N))
             E = jnp.eye(nz, dtype=X.dtype).reshape(N, self.nu, nz)
 
             def body(carry, inp):
@@ -230,9 +247,7 @@ class StochasticNMPC:
 
             if uph_eff > 0:
                 (e_c, G_c), (e_tail, G_tail) = jax.lax.scan(
-                    body,
-                    (d0b, G0),
-                    (A_blk[:uph_eff], B_blk[:uph_eff], xi[:uph_eff], E[:uph_eff]),
+                    body, (d0b, G0), (A_blk, B_blk, xi, E[:uph_eff])
                 )
                 e_head = jnp.concatenate([d0b[None], e_tail])   # (uph_eff+1,ns1,8)
                 G_head = jnp.concatenate([G0[None], G_tail])
@@ -243,12 +258,12 @@ class StochasticNMPC:
             N2 = N - uph_eff
             if N2 > 0:
                 e_nom2, G_nom2 = condense_scan_from(
-                    A_blk[uph_eff:, 0], B_blk[uph_eff:, 0], xi[uph_eff:, 0],
+                    A_tailn, B_tailn, xi_tailn,
                     e_c[0], G_c[0], uph_eff * self.nu,
                 )                                        # (N2+1,8), (N2+1,8,nz)
                 e_smp2 = e_c[1:][None] + jnp.concatenate(
                     [jnp.zeros((1, ns, 8), X.dtype),
-                     jnp.cumsum(xi[uph_eff:, 1:], axis=0)],
+                     jnp.cumsum(xi_tails, axis=0)],
                     axis=0,
                 )                                        # (N2+1, ns, 8)
                 e_tail2 = jnp.concatenate([e_nom2[:, None], e_smp2], axis=1)
@@ -364,33 +379,37 @@ class StochasticNMPC:
             )
 
             # --- constraint rows ---
-            h_all, dh_all = jax.vmap(jax.vmap(
-                lambda s: (h_of(s), jax.jacfwd(h_of)(s))
-            ))(xs)                                   # (N+1,ns1,nh), (N+1,ns1,nh,8)
-            coeff = jnp.einsum("ls,ksi->kli", A, h_all[:, 1:])   # (N+1, L, nh)
-            mean = coeff[:, 0]
-            var = jnp.sum(coeff[:, 1:] ** 2, axis=1)
-            sd = jnp.sqrt(var + 1e-30)
-            h_cc = mean + sd * kappa
-            wj = A[0][None, :, None] + kappa * jnp.einsum(
-                "kli,ls->ksi", coeff[:, 1:], A[1:]
-            ) / sd[:, None, :]                        # (N+1, ns, nh)
-
+            # Analytic h+Jacobian (acc_constraints_jac), evaluated only on
+            # the (node, copy) pairs the rows depend on: all copies below
+            # the UPH, the nominal copy alone at frozen nodes — 89 instead
+            # of 429 evaluations, and no 8-tangent jacfwd per copy
+            # (VERDICT r3 #1a).
             if c_split > 0:
+                h_head_all, dh_head_all = jax.vmap(jax.vmap(h_jac))(
+                    xs[:c_split]
+                )                                    # (c,ns1,nh), (c,ns1,nh,8)
+                coeff = jnp.einsum("ls,ksi->kli", A, h_head_all[:, 1:])
+                mean = coeff[:, 0]
+                var = jnp.sum(coeff[:, 1:] ** 2, axis=1)
+                sd = jnp.sqrt(var + 1e-30)
+                h_cc = mean + sd * kappa             # (c, nh)
+                wj = A[0][None, :, None] + kappa * jnp.einsum(
+                    "kli,ls->ksi", coeff[:, 1:], A[1:]
+                ) / sd[:, None, :]                    # (c, ns, nh)
                 # (c, ns, nh, 8): per-sample weight times the copy's h-Jacobian
-                Js = wj[:c_split, :, :, None] * dh_all[:c_split, 1:]
+                Js = wj[:, :, :, None] * dh_head_all[:, 1:]
                 G_h_head = jnp.einsum(
                     "ksir,ksrz->kiz", Js, G_head[:c_split, 1:]
                 )
-                c_h_head = h_cc[:c_split] + jnp.einsum(
+                c_h_head = h_cc + jnp.einsum(
                     "ksir,ksr->ki", Js, e_full[:c_split, 1:]
                 )
             if c_split <= N:
-                dh_nom = dh_all[c_split:, 0]          # (N+1-c, nh, 8)
+                h_froz, dh_nom = jax.vmap(h_jac)(xs[c_split:, 0])
                 G_h_froz = jnp.einsum(
                     "kir,krz->kiz", dh_nom, Gam_nom[c_split:]
                 )
-                c_h_froz = h_all[c_split:, 0] + jnp.einsum(
+                c_h_froz = h_froz + jnp.einsum(
                     "kir,kr->ki", dh_nom, e_nom[c_split:]
                 )
             if c_split == 0:
@@ -446,6 +465,11 @@ class StochasticNMPC:
             vel_abs = jnp.sqrt(x8[3] ** 2 + x8[4] ** 2)
             return acc_constraints(vel_abs, x8[7], x8[3] * x8[5], gg, vp.acc_min, shape)
 
+        def h_jac(x8):
+            """Analytic (h, dh/dx8) — exact match of jacfwd(h_of) (tested in
+            test_controllers), O(1) instead of 8 pushed tangents per copy."""
+            return acc_constraints_jac(x8, gg, vp.acc_min, shape)
+
         def con_stage(k, x):
             xs = x.reshape(ns1, 8)
             h_all = jax.vmap(h_of)(xs)          # (ns1, nh)
@@ -471,9 +495,7 @@ class StochasticNMPC:
             (the generic path pushes 88 tangents through all 11 copies).
             """
             xs = x.reshape(ns1, 8)
-            h_all, dh_all = jax.vmap(
-                lambda s: (h_of(s), jax.jacfwd(h_of)(s))
-            )(xs)                                     # (ns1,nh), (ns1,nh,8)
+            h_all, dh_all = jax.vmap(h_jac)(xs)       # (ns1,nh), (ns1,nh,8)
             h_nom = h_all[0]
             coeff = A @ h_all[1:]                     # (L, nh)
             mean = coeff[0]
