@@ -167,9 +167,11 @@ class RTIEngine:
         newton_iters: int = 15,
         lm_reg: float = 0.0,
         sqp_iters: int = 1,
+        kkt_fail_rel: float = 1e4,
     ):
         self.lm_reg = lm_reg
         self.sqp_iters = sqp_iters
+        self.kkt_fail_rel = kkt_fail_rel
         if (funcs.build_qp is None) != (funcs.expand_dx is None):
             raise ValueError(
                 "OCPFunctions.build_qp and expand_dx must be provided together"
@@ -476,11 +478,27 @@ class RTIEngine:
         # spinning/saturated trajectory — can produce astronomically large
         # yet finite QP data; treat the result like acados status 3 so the
         # caller re-initializes, main.py:59-61.)
+        #
+        # The relative-KKT criterion is the fixed-iteration analog of
+        # acados' QP-solver failure statuses: when the QP data turns extreme
+        # (e.g. SNMPC sample defects amplified through a locally unstable
+        # linearization at the grip limit), the fixed-iteration IPM can
+        # return a *finite but unconverged* step whose application corrupts
+        # the RTI warm start irrecoverably — HPIPM would report max-iter/
+        # NaN there and the reference loop would re-initialize. Measured
+        # (r4 SNMPC golden-attribution forensics): healthy closed loops
+        # reach relative KKT <= ~90 on transient active-set changes that
+        # the RTI feedback absorbs harmlessly; the catastrophic
+        # warm-start-corruption regime shows >= 1e5. The 1e4 default only
+        # catches the latter — tighter settings measurably degrade healthy
+        # laps by spurious re-initializations.
+        qp_scale = 1.0 + jnp.max(jnp.abs(qp.g0))
         bad = jnp.logical_not(
             jnp.all(jnp.isfinite(X_new))
             & jnp.all(jnp.isfinite(U_new))
             & (jnp.max(jnp.abs(X_new)) < 1e7)
             & (jnp.max(jnp.abs(U_new)) < 1e4)
+            & (kkt / qp_scale < self.kkt_fail_rel)
         )
         X_new = jnp.where(bad, state.X, X_new)
         U_new = jnp.where(bad, state.U, U_new)
