@@ -15,6 +15,8 @@ eps*mu_feas + (1-eps)*sigma_feas from the feasibility classifier). Here:
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,35 +70,83 @@ def _hvi_candidate(f_cand, front_sorted, ref):
     return jnp.sum(width * height)
 
 
+class AcqP(NamedTuple):
+    """EHVI acquisition data as one pytree, so the jitted value/polish
+    functions below cache on shapes (the optimizer pins GP train sizes and
+    the front length — see BayesianOptimizer.M_FEAS/M_OBJ/M_FRONT)."""
+
+    gp0: GPData
+    gp1: GPData
+    feas: GPData
+    front: jnp.ndarray   # (k, 2) sorted by descending f0
+    ref: jnp.ndarray     # (2,)
+    keys: jnp.ndarray    # (2, 2) PRNG keys
+    eps: jnp.ndarray     # ()
+
+
+def _acq_value_ehvi(ap: AcqP, X, n_mc: int):
+    # MC posterior samples of both objectives at the candidates
+    s0 = gp_sample(ap.gp0, X, ap.keys[0], n_mc)  # (n_mc, m)
+    s1 = gp_sample(ap.gp1, X, ap.keys[1], n_mc)
+    f = jnp.stack([s0, s1], axis=-1)  # (n_mc, m, 2)
+    hvi = jax.vmap(jax.vmap(lambda p: _hvi_candidate(p, ap.front, ap.ref)))(f)
+    ehvi = hvi.mean(axis=0)  # (m,)
+    mu_f, sd_f = gp_posterior(ap.feas, X)
+    p_feas = jax.scipy.stats.norm.cdf(mu_f / (sd_f + 1e-9))
+    # exploration term on the PROBABILITY scale (bounded like the
+    # reference's Dirichlet-classifier sd): sqrt(p(1-p)) peaks at the
+    # feasibility boundary; the raw regression sd is unbounded far from
+    # data and drags candidates into the corners
+    sigma_p = 2.0 * jnp.sqrt(p_feas * (1.0 - p_feas))
+    weight = ap.eps * p_feas + (1.0 - ap.eps) * sigma_p
+    return ehvi * weight
+
+
+def _acq_value_feas(feas_gp: GPData, X):
+    mu, sd = gp_posterior(feas_gp, X)
+    return jax.scipy.stats.norm.cdf(mu / (sd + 1e-9)) + 0.5 * sd
+
+
+class _AcqHandle:
+    """Callable acquisition bound to a params pytree. Keeping the value
+    function at module level (instead of a per-iteration closure) lets the
+    jit caches hit across BO iterations — a fresh `jax.jit(lambda ...)`
+    per iteration recompiled the screen/polish every time (measured
+    7-13 s/iteration of pure compilation)."""
+
+    def __init__(self, kind: str, params, n_mc: int = 0):
+        self.kind, self.params, self.n_mc = kind, params, n_mc
+
+    def __call__(self, X):
+        if self.kind == "ehvi":
+            return _acq_jit_ehvi(self.params, X, self.n_mc)
+        return _acq_jit_feas(self.params, X)
+
+
+from functools import partial
+
+_acq_jit_ehvi = partial(jax.jit, static_argnames=("n_mc",))(_acq_value_ehvi)
+_acq_jit_feas = jax.jit(_acq_value_feas)
+
+
 def make_acquisition(
     gps, feas_gp: GPData, front: np.ndarray, ref: np.ndarray, eps: float, key, n_mc: int = 64
 ):
     """Returns a differentiable acq(X) for (m, d) candidate batches."""
     front = front[np.argsort(-front[:, 0])]
-    front_j = jnp.asarray(front)
-    ref_j = jnp.asarray(ref)
-    # host copies: the acquisition runs on the CPU backend (host_device);
-    # device-committed keys inside a CPU-pinned jit would conflict
+    # UNCOMMITTED (numpy) leaves: the GPData arrays are CPU-committed (fit_gp
+    # runs under host_device); a device-committed leaf built outside that
+    # context would pin the whole jitted acquisition to the accelerator and
+    # drag every screen/polish through the network tunnel (measured
+    # 37-100 s/iteration vs <1 s on the host backend).
     keys_np = np.asarray(jax.random.split(key, 2))
-
-    def acq(X):
-        # MC posterior samples of both objectives at the candidates
-        s0 = gp_sample(gps[0], X, jnp.asarray(keys_np[0]), n_mc)  # (n_mc, m)
-        s1 = gp_sample(gps[1], X, jnp.asarray(keys_np[1]), n_mc)
-        f = jnp.stack([s0, s1], axis=-1)  # (n_mc, m, 2)
-        hvi = jax.vmap(jax.vmap(lambda p: _hvi_candidate(p, front_j, ref_j)))(f)
-        ehvi = hvi.mean(axis=0)  # (m,)
-        mu_f, sd_f = gp_posterior(feas_gp, X)
-        p_feas = jax.scipy.stats.norm.cdf(mu_f / (sd_f + 1e-9))
-        # exploration term on the PROBABILITY scale (bounded like the
-        # reference's Dirichlet-classifier sd): sqrt(p(1-p)) peaks at the
-        # feasibility boundary; the raw regression sd is unbounded far from
-        # data and drags candidates into the corners
-        sigma_p = 2.0 * jnp.sqrt(p_feas * (1.0 - p_feas))
-        weight = eps * p_feas + (1.0 - eps) * sigma_p
-        return ehvi * weight
-
-    return acq
+    ap = AcqP(
+        gp0=gps[0], gp1=gps[1], feas=feas_gp,
+        front=np.asarray(front, dtype=np.float32),
+        ref=np.asarray(ref, dtype=np.float32),
+        keys=keys_np, eps=np.float32(eps),
+    )
+    return _AcqHandle("ehvi", ap, n_mc)
 
 
 def optimize_acquisition(
@@ -111,22 +161,20 @@ def optimize_acquisition(
         return _optimize_acquisition(acq, d, q, key, n_raw, n_polish, lr)
 
 
-def _optimize_acquisition(acq, d, q, key, n_raw, n_polish, lr):
-    sob = qmc.Sobol(d, scramble=True, seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
-    X0 = jnp.asarray(sob.random(n_raw))
-    vals0 = acq(X0)
-    top = jnp.argsort(-vals0)[: 4 * q]
-    X = X0[top]
-    screen_vals = np.asarray(vals0)[np.asarray(top)]
-
+@partial(jax.jit, static_argnames=("kind", "n_mc", "n_polish", "lr"))
+def _polish_loop(params, X, kind, n_mc, n_polish, lr):
     import optax
 
+    if kind == "ehvi":
+        value = lambda Z: _acq_value_ehvi(params, Z, n_mc)
+    else:
+        value = lambda Z: _acq_value_feas(params, Z)
     opt = optax.adam(lr)
     state = opt.init(X)
 
     def step(carry, _):
         X, state = carry
-        loss, g = jax.value_and_grad(lambda Z: -jnp.sum(acq(Z)))(X)
+        loss, g = jax.value_and_grad(lambda Z: -jnp.sum(value(Z)))(X)
         upd, state = opt.update(g, state)
         X_new = jnp.clip(optax.apply_updates(X, upd), 0.0, 1.0)
         # f32 guard: a NaN acquisition gradient must not poison the
@@ -136,10 +184,49 @@ def _optimize_acquisition(acq, d, q, key, n_raw, n_polish, lr):
         X_new = jnp.where(jnp.isfinite(X_new), X_new, X)
         return (X_new, state), None
 
-    # single dispatch for the polish loop (tunnel-RTT economics, see fit_gp)
-    X, state = jax.jit(
-        lambda x, s: jax.lax.scan(step, (x, s), None, length=n_polish)[0]
-    )(X, state)
+    # single dispatch for the whole polish (tunnel-RTT economics, fit_gp)
+    return jax.lax.scan(step, (X, state), None, length=n_polish)[0][0]
+
+
+def _optimize_acquisition(acq, d, q, key, n_raw, n_polish, lr):
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("BO_DEBUG_TIMING")
+    _t = _time.time()
+    sob = qmc.Sobol(d, scramble=True, seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    X0 = jnp.asarray(sob.random(n_raw))
+    if _dbg:
+        print(f"  [acq] sobol+seed {_time.time()-_t:.2f}s", flush=True); _t = _time.time()
+    vals0 = acq(X0)
+    top = jnp.argsort(-vals0)[: 4 * q]
+    X = X0[top]
+    screen_vals = np.asarray(vals0)[np.asarray(top)]
+    if _dbg:
+        print(f"  [acq] screen {_time.time()-_t:.2f}s", flush=True); _t = _time.time()
+
+    if isinstance(acq, _AcqHandle):
+        X = _polish_loop(acq.params, X, acq.kind, acq.n_mc, n_polish, lr)
+        if _dbg:
+            X.block_until_ready()
+            print(f"  [acq] polish {_time.time()-_t:.2f}s", flush=True); _t = _time.time()
+    else:  # generic callable (tests): per-call jit, no cross-call caching
+        import optax
+
+        opt = optax.adam(lr)
+        state = opt.init(X)
+
+        def step(carry, _):
+            X, state = carry
+            loss, g = jax.value_and_grad(lambda Z: -jnp.sum(acq(Z)))(X)
+            upd, state = opt.update(g, state)
+            X_new = jnp.clip(optax.apply_updates(X, upd), 0.0, 1.0)
+            X_new = jnp.where(jnp.isfinite(X_new), X_new, X)
+            return (X_new, state), None
+
+        X, state = jax.jit(
+            lambda x, s: jax.lax.scan(step, (x, s), None, length=n_polish)[0]
+        )(X, state)
 
     vals = np.asarray(acq(X))
     X_np = np.asarray(X)
@@ -165,9 +252,4 @@ def _optimize_acquisition(acq, d, q, key, n_raw, n_polish, lr):
 def make_feasibility_acquisition(feas_gp: GPData):
     """Pure feasibility-seeking acquisition for an empty Pareto front:
     probability-of-feasibility plus exploration bonus."""
-
-    def acq(X):
-        mu, sd = gp_posterior(feas_gp, X)
-        return jax.scipy.stats.norm.cdf(mu / (sd + 1e-9)) + 0.5 * sd
-
-    return acq
+    return _AcqHandle("feas", feas_gp)
