@@ -70,7 +70,24 @@ def main():
     # acados per-solve time_tot the reference logs (NMPC_class.py:202-206).
     import numpy as np
 
-    chunk = max(1, min(250, n_steps))
+    # During-sim live visualization (reference Logging_Plotting.py:193-229):
+    # chunks shrink to live_plot_freq steps and each chunk boundary renders
+    # the state so far — overlapped with the NEXT chunk's device execution,
+    # so rendering only throttles the loop if it is slower than the chunk.
+    live_view = None
+    if sim_cfg.live_visualization in (1, 2):
+        from tum_control_tpu.eval.live_viz import LiveView
+
+        gif = (os.path.join(args.logs_path, sim_cfg.GIF_file_name)
+               if sim_cfg.GIF_animation_generation else None)
+        live_view = LiveView(
+            track=track, mode=sim_cfg.live_visualization,
+            window=float(sim_cfg.xwidth), gif_path=gif,
+            show=bool(os.environ.get("DISPLAY")),
+        )
+        chunk = max(1, min(int(sim_cfg.live_plot_freq), n_steps))
+    else:
+        chunk = max(1, min(250, n_steps))
     sizes = [chunk] * (n_steps // chunk)
     if n_steps % chunk:
         sizes.append(n_steps % chunk)
@@ -96,18 +113,34 @@ def main():
         w, _ = get_runner(sz)(warm, pb_slice(0, sz))
     jax.block_until_ready(w.x_sim)
 
+    def partial_assemble(chunk_logs, pos):
+        part = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *chunk_logs
+        )
+        return assemble_logs(part, x0_mpc, x0_sim, pos * sim_cfg.Ts_sim_step)
+
     carry = sim.init_carry(x0_mpc, x0_sim, key)
     chunk_logs, step_times = [], []
     pos = 0
     t0 = time.time()
     for sz in sizes:
         tc = time.time()
+        # async dispatch: the chunk starts executing on-device immediately
         carry, lg = get_runner(sz)(carry, pb_slice(pos, sz))
+        if live_view is not None and pos > 0:
+            # render the PREVIOUS chunk's state while this one runs on-device
+            live_view.update(partial_assemble(chunk_logs, pos), pos)
         jax.block_until_ready(lg.lat_dev)
         step_times.append(np.full(sz, (time.time() - tc) / sz))
         chunk_logs.append(lg)
         pos += sz
     wall = time.time() - t0
+    if live_view is not None:
+        live_view.update(partial_assemble(chunk_logs, pos), pos)
+        n_frames = live_view.finish()
+        if sim_cfg.GIF_animation_generation:
+            print(f"live viz: {n_frames} frames -> "
+                  f"{os.path.join(args.logs_path, sim_cfg.GIF_file_name)}")
     sim_log = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *chunk_logs)
     print(f"simulated {n_steps} steps in {wall:.2f}s "
           f"({wall / n_steps * 1e3:.3f} ms/step, compile excluded)")

@@ -54,6 +54,34 @@ def test_live_viz_replay_and_gif(tmp_path):
     assert n1 >= 1
 
 
+def test_live_viz_during_sim(tmp_path):
+    """True during-sim rendering (reference Logging_Plotting.py:193-229):
+    LiveView consumes PARTIAL logs at chunk boundaries while the loop runs
+    and exports the same GIF pipeline as replay mode."""
+    from tum_control_tpu.eval.live_viz import LiveView
+
+    cfg = SimConfig(sim_mode=0, T=0.6)
+    sim, x0m, x0s, traj, track = build_simulation(cfg, MPCConfig())
+    step = jax.jit(lambda c: sim.run_from(c, 10))
+    carry = sim.init_carry(x0m, x0s, jax.random.PRNGKey(0))
+
+    gif = str(tmp_path / "live.gif")
+    view = LiveView(track=track, mode=2, gif_path=gif)
+    chunk_logs = []
+    for k in range(3):  # 3 chunks of 10 steps, rendering after each
+        carry, lg = step(carry)
+        chunk_logs.append(lg)
+        part = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *chunk_logs,
+        )
+        logs = assemble_logs(part, x0m, x0s, (k + 1) * 10 * cfg.Ts)
+        view.update(logs, (k + 1) * 10)
+    n = view.finish()
+    assert n == 3
+    assert os.path.getsize(gif) > 1000
+
+
 def test_log_parity_solve_time_and_wmpc_trace(tmp_path):
     """simSolverDebug[:,1] must carry real (nonzero) per-solve times and a
     WMPC run must export RL_WMPC_logs.npz with the action trace — the

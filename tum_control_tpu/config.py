@@ -62,6 +62,11 @@ class SimConfig:
     file_logs_name: str = "run"
     live_visualization: int = 0
     live_plot_freq: int = 10
+    # field names match the reference YAML keys so load_sim_config maps them
+    xwidth: float = 100.0
+    ywidth: float = 100.0
+    GIF_animation_generation: bool = False
+    GIF_file_name: str = "run.gif"
 
     @property
     def N(self) -> int:
