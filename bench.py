@@ -35,8 +35,8 @@ def main():
     # batch 128 is the chip's saturation point (tools/batch_sweep.py r3:
     # 64/128/256/512/1024 -> 106/169/159/145/127 k solves/s). The sweep's
     # absolute numbers are below the README headline because it uses
-    # 300-step runs (larger fixed-overhead share) and predates the
-    # qp_iters=4 default; the canonical headline is this file's committed
+    # 300-step runs (larger fixed-overhead share) and predates the current
+    # qp_iters default; the canonical headline is this file's committed
     # driver run (BENCH_r*.json), batch 128 x 1000 steps.
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000

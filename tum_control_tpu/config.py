@@ -118,12 +118,14 @@ class MPCConfig:
     WMPC_model: str = ""
     weights_update_period: int = 20
     # solver
-    # interior-point iterations per RTI QP solve. 4 Mehrotra iterations (plus
+    # interior-point iterations per RTI QP solve. 3 Mehrotra iterations (plus
     # the semismooth-Newton polish) are enough with warm starts: hardware
-    # sweep 6/5/4 gives 137.7k/150.5k/165.9k solves/s at identical closed-
-    # loop quality bars (lat_dev p99 0.777 m, 100% ok, golden-matched lap
-    # mean within 1.7% of the ACC24 golden — docs/RESULTS.md r3 sweep)
-    qp_iters: int = 4
+    # sweeps (r3: 6/5/4 -> 137.7k/150.5k/165.9k; r4: 4/3 -> 186.5k/211.1k
+    # solves/s at batch 256) hold the closed-loop quality bars (lat_dev p99
+    # 0.776 m, 100% ok; golden-matched fitted-tire laps: nominal +2.6%,
+    # SNMPC +17.5% mean vs the ACC24 goldens — within every gate; r4 sweep
+    # in docs/RESULTS.md)
+    qp_iters: int = 3
     sqp_iters: int = 1             # SQP iterations per control step: 1 = the
     # reference's SQP_RTI (NMPC_STM_acados_settings.py:234); >1 re-linearizes
     # within the step (acados' SQP mode), buying tracking quality with the
