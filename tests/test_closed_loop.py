@@ -296,6 +296,84 @@ def test_snmpc_statistics_vs_golden_fitted_tires():
     assert np.abs(np.array(log.lat_dev)).max() < 1.25 * np.abs(d["dev_lat"]).max()
 
 
+def _replay_disturbed_golden(path, mpc_cfg, tires):
+    """Run our closed loop under the golden run's OWN recorded noise
+    realization (the goldens log sim_disturbance_* arrays,
+    Logging_Plotting.py:274-282; they plug straight into our playback
+    path) — a same-realization comparison, much stronger than the
+    distribution-level statistics elsewhere in this file."""
+    d = np.load(path)
+    n = d["simU"].shape[0]
+    sim_cfg = SimConfig(
+        sim_mode=0, T=n * 0.02,
+        disturbance_playback=True, playback_log_file="golden",
+        simulate_state_estimation=True, simulate_disturbances=True,
+        tire_params_file_MPC=tires, tire_params_file_simulator=tires,
+    )
+    sim, x0m, x0s, *_ = build_simulation(sim_cfg, mpc_cfg)
+    pb = (
+        jnp.asarray(d["sim_disturbance_derivatives"]),
+        jnp.asarray(d["sim_disturbance_state_estimation"]),
+    )
+    carry = sim.init_carry(x0m, x0s, jax.random.PRNGKey(0))
+    carry, log = jax.jit(lambda c: sim.run_from(c, n, playback=pb))(carry)
+    return log, d, n
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+def test_disturbed_nominal_golden_same_noise_realization():
+    """Disturbed ACC24 nominal golden replayed under its own recorded
+    state-estimation noise (measured r4: mean +3.8% with shipped tires,
+    max 0.91 vs the golden's 1.28 m, 100% solver success)."""
+    import os
+
+    path = (
+        "/root/reference/Papers_Plots/ACC24_SNMPC/"
+        "NMPC_FdistSE_n15uph15y0.035v0.1vlt0.05yrt0.001p0.8"
+        "2023-09-17_15-50-35/full_logs.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference golden logs unavailable")
+    log, d, n = _replay_disturbed_golden(path, MPCConfig(), "EDGAR/pacejka_params.yaml")
+    assert np.all(np.array(log.simSolverDebug[:, 4]) == 0)
+    o = np.abs(np.array(log.lat_dev))
+    g = np.abs(d["dev_lat"][:n])
+    assert abs(o.mean() - g.mean()) / g.mean() < 0.15, (o.mean(), g.mean())
+    assert o.max() < 1.25 * g.max()
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+def test_disturbed_snmpc_golden_same_noise_realization():
+    """Disturbed ACC24 SNMPC golden under its own noise realization
+    (measured r4: mean +14.7% with shipped tires, max 0.87 vs 0.78 m,
+    100% success). Shipped tires deliberately: the 2023-fit shape blend
+    that reproduces the NODIST SNMPC golden destabilizes under the large
+    recorded SE noise (the saturation-shape fragility of docs/PARITY.md
+    round-4 forensics), while the more conservative shipped shape rides
+    it out — the noise dominates the tire mismatch here."""
+    import os
+
+    path = (
+        "/root/reference/Papers_Plots/ACC24_SNMPC/"
+        "SNMPC_FdistSE_n10uph15v0.8vlt0.35yrt0.035p0.8"
+        "2023-09-17_15-55-13/full_logs.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference golden logs unavailable")
+    log, d, n = _replay_disturbed_golden(
+        path,
+        MPCConfig(controller="snmpc", uncertainty_propagation_horizon=15),
+        "EDGAR/pacejka_params.yaml",
+    )
+    assert np.all(np.array(log.simSolverDebug[:, 4]) == 0)
+    o = np.abs(np.array(log.lat_dev))
+    g = np.abs(d["dev_lat"][:n])
+    assert abs(o.mean() - g.mean()) / g.mean() < 0.25, (o.mean(), g.mean())
+    assert o.max() < 1.25 * g.max()
+
+
 @pytest.mark.parametrize("track", ["modena", "lvms"])
 def test_nominal_tracks_other_tracks(track):
     """BASELINE.md targets all three reference tracks; Monteblanco is covered
