@@ -374,6 +374,44 @@ def test_disturbed_snmpc_golden_same_noise_realization():
     assert o.max() < 1.25 * g.max()
 
 
+@pytest.mark.golden
+@pytest.mark.slow
+def test_snmpc_n38_heavy_noise_survives_where_reference_crashed():
+    """The reference's own hardest committed experiment
+    (SNMPC_FdistSE_n38uph10...: n_samples=38, UPH=10, heavy SE noise)
+    crashed its stack: NaN from step 3301, 2766/6000 solver failures,
+    23.5 m mean dev_lat over the valid prefix. Under the IDENTICAL
+    recorded noise realization this framework completes the full lap:
+    measured r4 ok=99.98% (one in-graph reinit), mean 0.546 m, max 3.1 m."""
+    import os
+
+    path = (
+        "/root/reference/Papers_Plots/ACC24_SNMPC/"
+        "SNMPC_FdistSE_n38uph10xy0.3y0.05vl0.8vlt0.8yr0.1d0.01"
+        "2023-09-18_19-33-29/full_logs.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference golden logs unavailable")
+    d = np.load(path)
+    # the golden itself is the crash record
+    assert np.isnan(d["dev_lat"]).sum() > 2000
+    assert (d["simSolverDebug"][:, 4] != 0).sum() > 2000
+    log, _, n = _replay_disturbed_golden(
+        path,
+        MPCConfig(
+            controller="snmpc", n_samples=38,
+            uncertainty_propagation_horizon=10,
+            stds=(0.3, 0.3, 0.05, 0.8, 0.8, 0.1, 0.01, 0.0),
+        ),
+        "EDGAR/pacejka_params.yaml",
+    )
+    o = np.array(log.lat_dev)
+    assert np.isfinite(o).all()
+    assert (np.array(log.simSolverDebug[:, 4]) == 0).mean() > 0.999
+    assert np.abs(o).mean() < 1.0
+    assert np.abs(o).max() < 5.0
+
+
 @pytest.mark.parametrize("track", ["modena", "lvms"])
 def test_nominal_tracks_other_tracks(track):
     """BASELINE.md targets all three reference tracks; Monteblanco is covered

@@ -88,6 +88,35 @@ def test_pce_regression_matrix_properties():
     np.testing.assert_allclose(coeff[1:], 0.0, atol=1e-8)
 
 
+def test_pce_regression_matrix_underdetermined():
+    """L > n_samples must yield a finite minimum-norm fit plus a warning —
+    the reference's explicit inv(Phi'Phi) produces a ~1e17-entry garbage
+    matrix there (its committed n10/uph10 heavy-noise experiment,
+    stochastic_mpc_utils.py:66-74; see docs/PARITY.md r4 addendum)."""
+    import warnings
+
+    from tum_control_tpu.controllers import pce
+
+    n_samples, n_vars, degree = 10, 7, 2
+    L = pce.n_poly_terms(n_vars, degree)
+    assert L == 36 > n_samples
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        w, A = pce.regression_matrix(n_samples, n_vars, degree)
+    assert any("underdetermined" in str(r.message) for r in rec)
+    assert np.isfinite(A).all() and np.abs(A).max() < 10.0
+    # minimum-norm LS still reproduces sampled values: Phi @ A is the
+    # orthogonal projector onto range(Phi), so Phi @ (A @ y) == y exactly
+    # when the design has full row rank
+    Phi = pce.pce_basis(w, pce.alpha_indices(n_vars, degree))
+    y = np.sin(np.arange(n_samples))
+    np.testing.assert_allclose(Phi @ (A @ y), y, atol=1e-8)
+    # determined case unchanged vs the explicit normal-equations form
+    w3, A3 = pce.regression_matrix(10, 3, 2)
+    Phi3 = pce.pce_basis(w3, pce.alpha_indices(3, 2))
+    np.testing.assert_allclose(A3, np.linalg.inv(Phi3.T @ Phi3) @ Phi3.T, atol=1e-10)
+
+
 def test_hermite_orthonormality():
     from tum_control_tpu.controllers import pce
 

@@ -89,11 +89,30 @@ def pce_basis(samples: np.ndarray, alphas: np.ndarray) -> np.ndarray:
 
 def regression_matrix(n_samples: int, n_vars: int, degree: int):
     """(w_samples (n_vars, n_samples), A (L, n_samples)) — Eq. 8 of the
-    SNMPC paper (arXiv:2310.18753), plain least squares."""
+    SNMPC paper (arXiv:2310.18753), plain least squares.
+
+    Computed via the pseudo-inverse: identical to the reference's
+    inv(Phi'Phi)Phi' (stochastic_mpc_utils.py:66-74) whenever the design
+    is determined (n_samples >= L), but still well-defined — the
+    minimum-norm least-squares estimator — when the basis outnumbers the
+    samples. The reference's explicit inverse silently produces a garbage
+    ~1e17-entry matrix there (its own committed n10/uph10 heavy-noise
+    experiment has L=36 > 11 samples and tracks at 2 m mean / 24 m max;
+    its n38 variants NaN'd — see docs/PARITY.md round-4 addendum)."""
     alphas = alpha_indices(n_vars, degree)
+    L = alphas.shape[0]
+    if n_samples < L:
+        import warnings
+
+        warnings.warn(
+            f"PCE regression is underdetermined: {n_samples} samples for "
+            f"{L} basis terms (n_vars={n_vars}, degree={degree}); using the "
+            "minimum-norm least-squares fit. Increase n_samples (>= L) or "
+            "reduce the expansion degree / active stds for a proper fit."
+        )
     w = hammersley_normal_samples(n_samples, n_vars)
     Phi = pce_basis(w, alphas)
-    A = np.linalg.inv(Phi.T @ Phi) @ Phi.T
+    A = np.linalg.pinv(Phi)
     return w, A
 
 
