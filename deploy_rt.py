@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="steps kept in flight (0 = synchronous)")
+    ap.add_argument("--lead-cap", type=float, default=1.5,
+                    help="max dispatch lead in periods (age-p50 design target)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -142,14 +144,19 @@ def main():
 
         # lead[0]: dispatch lead time (ns) — how long before its actuation
         # deadline step k is dispatched. Tracks the 99th percentile of the
-        # last 256 measured completion latencies plus a 1.5 ms margin, so
+        # last 256 measured completion latencies plus a 1.0 ms margin, so
         # ~99% of results land before their deadline while the median age
-        # stays within ~q99+margin; clipped to [0.25, 2.2] periods.
+        # stays within ~q99+margin; clipped to [0.25 periods, --lead-cap].
+        # The cap (default 1.5 periods = the age-p50 design target) keeps a
+        # tunnel-stall burst from dragging the lead — and with it the age
+        # of EVERY subsequent applied control — to the old depth-2 envelope;
+        # during a burst staleness rises instead (counted + attributed).
         # A mean+k*dev estimator was tried first and sat too close to the
         # median: completions landed ~0.5 ms before the deadline and tunnel
         # jitter converted directly into stale holds. Updated by the
-        # fetcher, read by the dispatcher (atomic slot under the GIL).
-        lead = [int(1.5 * period_ns)]
+        # fetchers, read by the dispatcher (atomic slot under the GIL).
+        lead_cap_ns = int(args.lead_cap * period_ns)
+        lead = [min(int(1.5 * period_ns), lead_cap_ns)]
         comp_ring = []  # last <=256 completion samples (fetcher-owned)
         comp_log = np.zeros(args.cycles, dtype=np.int64)  # completion per seq
         disp_log = np.zeros(args.cycles, dtype=np.int64)  # dispatch time per seq
@@ -216,11 +223,21 @@ def main():
                 fetch_q.put(None)
                 done.set()
 
-        def fetcher():
+        # Fetcher POOL (r5): one blocking np.asarray per step, round-robin
+        # over N_FETCH threads so a single slow copy (tunnel stall) cannot
+        # head-of-line-block the steps behind it — those publish the moment
+        # their own copy lands (out-of-order publish, newest-seq-wins slot).
+        # With one fetcher, a stall inflated the measured completion AND the
+        # staleness of every queued step behind it.
+        N_FETCH = 3
+        fetch_done = [threading.Event() for _ in range(N_FETCH)]
+
+        def fetcher(fid):
             try:
                 while True:
                     item = fetch_q.get()
                     if item is None:
+                        fetch_q.put(None)  # propagate to pool peers
                         break
                     seq, t_disp, packed = item
                     arr = np.asarray(packed)  # blocks until the copy lands
@@ -233,12 +250,15 @@ def main():
                         del comp_ring[0]
                     q99 = float(np.percentile(comp_ring, 99))
                     lead[0] = int(
-                        min(max(q99 + 1_500_000, 0.25 * period_ns),
-                            2.2 * period_ns)
+                        min(max(q99 + 1_000_000, 0.25 * period_ns), lead_cap_ns)
                     )
-                    latest[0] = (seq, t_disp, t_done, arr)  # atomic slot swap
+                    cur = latest[0]
+                    if cur is None or seq > cur[0]:  # newest-seq-wins
+                        latest[0] = (seq, t_disp, t_done, arr)
                     inflight.release()
-                done.set()
+                fetch_done[fid].set()
+                if all(e.is_set() for e in fetch_done):
+                    done.set()
             except BaseException as e:
                 worker_err.append(e)
                 done.set()
@@ -250,9 +270,13 @@ def main():
         sys.setswitchinterval(0.0005)  # tight GIL handoff to the RT thread
         try:
             td = threading.Thread(target=dispatcher, daemon=True)
-            tf = threading.Thread(target=fetcher, daemon=True)
+            tfs = [
+                threading.Thread(target=fetcher, args=(i,), daemon=True)
+                for i in range(N_FETCH)
+            ]
             td.start()
-            tf.start()
+            for tf in tfs:
+                tf.start()
             while latest[0] is None:  # wait for the first completed control
                 if worker_err:
                     raise RuntimeError("serving worker failed") from worker_err[0]

@@ -1,0 +1,249 @@
+"""Differentiable CLOSED-LOOP tire fit against both ACC24 no-dist goldens.
+
+The r4 forensics (docs/PARITY.md) proved one-step transition fitting
+under-determines the tire *saturation shape* that closed-loop SNMPC
+stability pins: the one-step-optimal 2023 fit reproduces the nominal
+golden to 0.9% but diverges the SNMPC loop at the Monteblanco hairpin.
+This tool exploits the framework's unique capability — the entire closed
+loop (planner -> RTI solve -> IPM -> plant RK4 -> estimator) is one
+differentiable JAX program — and fits the 8 Pacejka parameters by
+gradient descent on a closed-loop loss THROUGH the simulation scan,
+jointly over the nominal and SNMPC goldens. acados/CasADi structurally
+cannot do this (the solver is an opaque C call).
+
+Method (chunked multiple shooting over the laps):
+  * both 120 s goldens are cut into chunks of `chunk_len` steps; each
+    chunk's plant/MPC state is initialized from the golden log's own
+    recorded state at that step (CiLX + the logged accel state), the
+    controller cold-starts (first `skip` steps are masked out of the
+    loss — warm-start transient);
+  * all chunks of both runs roll out batched (vmap) and differentiably
+    (jax.checkpoint on the step: 250-step reverse sweeps at O(carry)
+    memory);
+  * loss per run: (mean|dev_lat| / golden mean - 1)^2  [the VERDICT gate]
+    + a small trace-matching term (conditioning) + a softplus divergence
+    penalty (keeps gradients finite if an intermediate theta destabilizes
+    the SNMPC loop — the exact failure mode of the one-step fit);
+  * theta = 8 log-multipliers on the shipped Pacejka values, initialized
+    at the r4 shape blend (pacejka_params_2023fit_snmpc.yaml); tires are
+    applied to BOTH plant and controller (the goldens had no mismatch).
+
+Run:   python tools/fit_tires_closedloop.py [--steps 150] [--cpu]
+Writes data/Config/EDGAR/pacejka_params_2023fit_cl.yaml + a log to
+Logs/attribution/closedloop_fit.txt.
+
+Ref: /root/reference/Papers_Plots/ACC24_SNMPC/*/full_logs.npz,
+     /root/reference/Vehicle_Simulator/sim_model_dynamic_stm_pacejka.py:133-193.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+os.environ.setdefault("TUM_DIFFERENTIABLE", "1")
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_NOM = (
+    "/root/reference/Papers_Plots/ACC24_SNMPC/"
+    "NMPC_FnodistSE_n10uph15v0.8vlt0.35yrt0.035p0.82023-09-17_16-06-27/full_logs.npz"
+)
+GOLDEN_SNM = (
+    "/root/reference/Papers_Plots/ACC24_SNMPC/"
+    "SNMPC_FnodistSE_n10uph15v0.8vlt0.35yrt0.035p0.82023-09-17_16-03-35/full_logs.npz"
+)
+OUT_YAML = os.path.join(REPO, "data", "Config", "EDGAR", "pacejka_params_2023fit_cl.yaml")
+BLEND_YAML = os.path.join(REPO, "data", "Config", "EDGAR", "pacejka_params_2023fit_snmpc.yaml")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--chunk-len", type=int, default=250)
+    ap.add_argument("--skip", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n-chunks", type=int, default=24)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import optax
+    import yaml
+
+    from tum_control_tpu.config import MPCConfig, SimConfig, load_gg_table
+    from tum_control_tpu.config import load_tire_params, load_vehicle_params
+    from tum_control_tpu.controllers.common import GGTables
+    from tum_control_tpu.controllers.nominal import NominalNMPC
+    from tum_control_tpu.controllers.snmpc import StochasticNMPC
+    from tum_control_tpu.params import TireParams
+    from tum_control_tpu.sim.closed_loop import ClosedLoopSim
+    from tum_control_tpu.sim.disturbances import disturbance_config
+    from tum_control_tpu.track.trajectory import load_ref_trajectory
+
+    import tum_control_tpu.config as cfg_mod
+
+    sim_cfg = SimConfig(sim_mode=0, T=10.0)
+    cfgp = cfg_mod.DEFAULT_CONFIG_PATH
+    vp = load_vehicle_params(cfgp, sim_cfg.veh_params_file_MPC)
+    gg = GGTables(*load_gg_table(cfgp, MPCConfig().lookuptable_gg_limits))
+    traj = load_ref_trajectory(os.path.join(sim_cfg.trajectory_path, sim_cfg.ref_traj_file))
+    tp0 = load_tire_params(cfgp, "EDGAR/pacejka_params.yaml")  # shipped
+    dtype = jnp.float64 if args.cpu else jnp.float32
+
+    base = jnp.log(jnp.array(
+        [tp0.Bf, tp0.Cf, tp0.Df, tp0.Ef, tp0.Br, tp0.Cr, tp0.Dr, tp0.Er], dtype=dtype
+    ))
+
+    def make_tp(theta):
+        v = jnp.exp(base + theta)
+        return TireParams(Bf=v[0], Cf=v[1], Df=v[2], Ef=v[3],
+                          Br=v[4], Cr=v[5], Dr=v[6], Er=v[7], mu=tp0.mu)
+
+    # init at the r4 blend (known to complete both laps)
+    with open(BLEND_YAML) as fh:
+        by = yaml.safe_load(fh)["tire_params"]
+    blend = np.array([
+        by["front"]["Bf"], by["front"]["Cf"], by["front"]["Df"], by["front"]["Ef"],
+        by["rear"]["Br"], by["rear"]["Cr"], by["rear"]["Dr"], by["rear"]["Er"],
+    ])
+    theta0 = jnp.asarray(np.log(blend) - np.asarray(base), dtype=dtype)
+
+    # ---- chunk data from both goldens --------------------------------
+    def chunks(path):
+        d = np.load(path)
+        n = d["simU"].shape[0]
+        stride = n // args.n_chunks
+        starts = np.arange(args.n_chunks) * stride
+        CiLX = d["CiLX"]
+        # 8-dim MPC state: plant state + the logged accel state (the sim
+        # reconstructs exactly this way, SimulationMode_main_class.py:145)
+        acc = d["MPC_SimX"][starts, 7]
+        x0s = CiLX[starts]                          # (nc, 7)
+        x0m = np.concatenate([x0s, acc[:, None]], axis=1)
+        g_dev = np.stack(
+            [np.abs(d["dev_lat"][s : s + args.chunk_len]) for s in starts]
+        )
+        return (
+            jnp.asarray(x0m, dtype), jnp.asarray(x0s, dtype),
+            jnp.asarray(g_dev, dtype),
+        )
+
+    nom_x0m, nom_x0s, nom_gdev = chunks(GOLDEN_NOM)
+    snm_x0m, snm_x0s, snm_gdev = chunks(GOLDEN_SNM)
+    mask = (jnp.arange(args.chunk_len) >= args.skip).astype(dtype)
+
+    nodist = disturbance_config("none", np.zeros(7), enabled=False)
+
+    def build_sim(ctrl):
+        return ClosedLoopSim(
+            controller=ctrl, traj=traj, sim_mode=0, Ts=sim_cfg.Ts_sim_step,
+            Tp=sim_cfg.Tp, N=sim_cfg.N, vp_sim=vp, tp_sim=ctrl.tp,
+            dist_deriv=nodist, dist_se=nodist,
+        )
+
+    def rollout(sim, x0m, x0s, n):
+        key = jax.random.PRNGKey(0)
+        carry = sim.init_carry(x0m, x0s, key)
+        zeros7 = jnp.zeros(7, dtype)
+        step = jax.checkpoint(lambda c, i: sim.step(c, (i, zeros7, zeros7)))
+        _, log = jax.lax.scan(step, carry, jnp.arange(n))
+        return log
+
+    def run_terms(sim, x0m_b, x0s_b, g_dev_b):
+        log = jax.vmap(lambda a, b: rollout(sim, a, b, args.chunk_len))(x0m_b, x0s_b)
+        dev = jnp.abs(log.lat_dev)                      # (nc, T)
+        msum = mask.sum() * dev.shape[0]
+        m_our = (dev * mask[None, :]).sum() / msum
+        m_g = (g_dev_b * mask[None, :]).sum() / msum
+        ratio = m_our / jnp.maximum(m_g, 1e-6)
+        trace = (((dev - g_dev_b) * mask[None, :]) ** 2).sum() / msum
+        blow = jax.nn.softplus(4.0 * (dev.max() - 1.5)).mean()
+        okfrac = jnp.mean((log.simSolverDebug[..., 4] == 0).astype(dtype))
+        return ratio, trace, blow, okfrac
+
+    def loss_fn(theta):
+        tp = make_tp(theta)
+        nom = NominalNMPC(MPCConfig(), sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
+        snm = StochasticNMPC(
+            MPCConfig(controller="snmpc", uncertainty_propagation_horizon=15),
+            sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg,
+        )
+        rn, tn, bn, okn = run_terms(build_sim(nom), nom_x0m, nom_x0s, nom_gdev)
+        rs, ts_, bs, oks = run_terms(build_sim(snm), snm_x0m, snm_x0s, snm_gdev)
+        loss = (
+            (rn - 1.0) ** 2 + (rs - 1.0) ** 2
+            + 0.3 * (tn + ts_)
+            + 1.0 * (bn + bs)
+        )
+        return loss, (rn, rs, tn, ts_, okn, oks)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    opt = optax.adam(args.lr)
+    theta = theta0
+    opt_state = opt.init(theta)
+    os.makedirs(os.path.join(REPO, "Logs", "attribution"), exist_ok=True)
+    log_path = os.path.join(REPO, "Logs", "attribution", "closedloop_fit.txt")
+    logf = open(log_path, "w")
+    best = (1e9, theta)
+    import time as _t
+
+    for it in range(args.steps):
+        t0 = _t.time()
+        (lv, aux), g = grad_fn(theta)
+        lv = float(lv)
+        rn, rs, tn, ts_, okn, oks = (float(a) for a in aux)
+        gnorm = float(jnp.linalg.norm(g))
+        line = (
+            f"it {it:3d} loss {lv:.5f} ratio_nom {rn:.3f} ratio_snmpc {rs:.3f} "
+            f"trace {tn:.4f}/{ts_:.4f} ok {okn:.3f}/{oks:.3f} |g| {gnorm:.3e} "
+            f"({_t.time()-t0:.1f}s)"
+        )
+        print(line, flush=True)
+        logf.write(line + "\n")
+        logf.flush()
+        # score on the actual gate (both ratios near 1), only if healthy
+        gate = max(abs(rn - 1.0), abs(rs - 1.0))
+        if okn > 0.999 and oks > 0.999 and gate < best[0]:
+            best = (gate, theta)
+        if not np.isfinite(lv) or not np.isfinite(gnorm):
+            print("non-finite loss/grad; stopping at best-so-far")
+            break
+        updates, opt_state = opt.update(g, opt_state)
+        theta = optax.apply_updates(theta, updates)
+
+    gate, theta_best = best
+    tp = make_tp(theta_best)
+    vals = {k: float(getattr(tp, k)) for k in
+            ["Bf", "Cf", "Df", "Ef", "Br", "Cr", "Dr", "Er", "mu"]}
+    line = f"best gate (max |ratio-1|): {gate:.4f}; theta {np.asarray(theta_best)}"
+    print(line)
+    logf.write(line + "\n")
+    with open(OUT_YAML, "w") as fh:
+        fh.write(
+            "# Pacejka parameters fitted by gradient descent THROUGH the closed\n"
+            "# loop (both ACC24 no-dist goldens jointly; chunked multiple\n"
+            "# shooting). Generated by tools/fit_tires_closedloop.py — see\n"
+            "# docs/PARITY.md round-5 section.\n"
+            "tire_params:\n"
+            "  front:\n"
+            f"    Bf: {vals['Bf']:.6f}\n    Cf: {vals['Cf']:.6f}\n"
+            f"    Df: {vals['Df']:.3f}\n    Ef: {vals['Ef']:.6f}\n"
+            "  rear:\n"
+            f"    Br: {vals['Br']:.6f}\n    Cr: {vals['Cr']:.6f}\n"
+            f"    Dr: {vals['Dr']:.3f}\n    Er: {vals['Er']:.6f}\n"
+            f"  mu: {vals['mu']:.6f}\n"
+        )
+    print("wrote", OUT_YAML)
+    logf.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -404,3 +404,21 @@ def _chol_apply_packed_vmap(axis_size, in_batched, L, b):
         Lt = L.reshape(B // LANES, np_, np_, LANES)  # undo the bitcast view
         return _solve_tpu_packed(Lt, b), True
     return batched_cholesky_solve(L, b), True
+
+
+# ---------------------------------------------------------------------------
+# Differentiable mode (TUM_DIFFERENTIABLE=1): replace the custom_vmap
+# wrappers with their plain jnp equivalents — custom_vmap and Pallas do not
+# support reverse-mode AD; the jnp forms do (see ops/diffmode.py).
+# ---------------------------------------------------------------------------
+from tum_control_tpu.ops.diffmode import DIFFERENTIABLE as _DIFF  # noqa: E402
+
+if _DIFF:
+    def chol_factor(H):  # noqa: F811
+        return jnp.linalg.cholesky(H)
+
+    def chol_apply(L, b):  # noqa: F811
+        return jax.scipy.linalg.cho_solve((L, True), b)
+
+    chol_factor_packed = chol_factor  # noqa: F811
+    chol_apply_packed = chol_apply    # noqa: F811

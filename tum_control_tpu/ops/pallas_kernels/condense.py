@@ -435,3 +435,15 @@ def _condense_scan_vmap(axis_size, in_batched, A, B, xi, d0):
     else:
         e, Gam = jax.vmap(condense_scan_ref)(A, B, xi, d0)
     return (e, Gam), (True, True)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable mode: plain jnp scan condensing (see ops/diffmode.py).
+# ---------------------------------------------------------------------------
+from tum_control_tpu.ops.diffmode import DIFFERENTIABLE as _DIFF  # noqa: E402
+
+if _DIFF:
+    condense_scan = condense_scan_ref  # noqa: F811
+
+    def condense_scan_from(A, B, xi, e0, G0, col0: int):  # noqa: F811
+        return condense_scan_from_ref(A, B, xi, e0, G0, int(col0))

@@ -35,6 +35,8 @@ LANES = 128
 SUBS = 8       # sublanes per f32 tile
 MAX_ROWS = 8   # element-tile height (rows > 8 currently trip Mosaic lowering)
 
+from tum_control_tpu.ops.diffmode import DIFFERENTIABLE as _DIFF  # noqa: E402
+
 
 def _make_kernel(step_tuple, nx: int, nv: int):
     def kernel(xu_ref, f_ref, j_ref):
@@ -118,6 +120,10 @@ def make_linearize_rollout(step_array, nx: int, nu: int, step_tuple_kernel=None)
         F = jax.vmap(step_xu)(XU)
         J = jax.vmap(jax.jacfwd(step_xu))(XU)
         return F, J
+
+    if _DIFF:
+        # differentiable mode: no custom_vmap / Pallas (ops/diffmode.py)
+        return jacfwd_path
 
     @custom_batching.custom_vmap
     def lin_rollout(XU):
