@@ -82,7 +82,7 @@ def main():
                if sim_cfg.GIF_animation_generation else None)
         live_view = LiveView(
             track=track, mode=sim_cfg.live_visualization,
-            window=float(sim_cfg.xwidth), gif_path=gif,
+            window=(float(sim_cfg.xwidth), float(sim_cfg.ywidth)), gif_path=gif,
             show=bool(os.environ.get("DISPLAY")),
         )
         chunk = max(1, min(int(sim_cfg.live_plot_freq), n_steps))
@@ -109,39 +109,76 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     # compile all chunk shapes outside the timed region
     warm = sim.init_carry(x0_mpc, x0_sim, key)
+    lg0 = None
     for sz in sorted(set(sizes)):
-        w, _ = get_runner(sz)(warm, pb_slice(0, sz))
+        w, lg0 = get_runner(sz)(warm, pb_slice(0, sz))
     jax.block_until_ready(w.x_sim)
 
-    def partial_assemble(chunk_logs, pos):
-        part = jax.tree.map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *chunk_logs
-        )
+    # Preallocated full-run log buffers, filled chunk by chunk — avoids
+    # re-concatenating the whole history at every live-viz frame (O(n^2)
+    # host work over a run).
+    buffers = jax.tree.map(
+        lambda x: np.empty((n_steps,) + np.asarray(x).shape[1:], np.asarray(x).dtype),
+        lg0,
+    )
+
+    def partial_assemble(pos):
+        part = jax.tree.map(lambda b: b[:pos], buffers)
         return assemble_logs(part, x0_mpc, x0_sim, pos * sim_cfg.Ts_sim_step)
 
+    # Live rendering runs on a dedicated worker thread so it overlaps the
+    # NEXT chunk's device execution without contaminating the per-chunk
+    # device timing (the renderer reads buffers[:pos], the main thread
+    # writes [pos:] — disjoint). All matplotlib calls stay on this one
+    # thread (Agg backend).
+    render_q = None
+    render_thread = None
+    if live_view is not None:
+        import queue as _queue
+        import threading as _threading
+
+        render_q = _queue.Queue(maxsize=2)
+
+        def _render_worker():
+            while True:
+                p = render_q.get()
+                if p is None:
+                    break
+                live_view.update(partial_assemble(p), p)
+
+        render_thread = _threading.Thread(target=_render_worker, daemon=True)
+        render_thread.start()
+
     carry = sim.init_carry(x0_mpc, x0_sim, key)
-    chunk_logs, step_times = [], []
+    step_times = []
     pos = 0
     t0 = time.time()
     for sz in sizes:
         tc = time.time()
         # async dispatch: the chunk starts executing on-device immediately
         carry, lg = get_runner(sz)(carry, pb_slice(pos, sz))
-        if live_view is not None and pos > 0:
-            # render the PREVIOUS chunk's state while this one runs on-device
-            live_view.update(partial_assemble(chunk_logs, pos), pos)
         jax.block_until_ready(lg.lat_dev)
+        # pure dispatch+device wall time: rendering happens on its own
+        # thread, so simSolverDebug[:,1] is not inflated by host drawing
         step_times.append(np.full(sz, (time.time() - tc) / sz))
-        chunk_logs.append(lg)
+        lg_np = jax.tree.map(np.asarray, lg)
+        jax.tree.map(lambda b, x: b.__setitem__(slice(pos, pos + sz), x), buffers, lg_np)
         pos += sz
+        if render_q is not None:
+            try:
+                render_q.put_nowait(pos)  # skip frames if the renderer lags
+            except _queue.Full:
+                pass
     wall = time.time() - t0
     if live_view is not None:
-        live_view.update(partial_assemble(chunk_logs, pos), pos)
+        render_q.put(None)
+        render_thread.join()
+        live_view.update(partial_assemble(pos), pos)
         n_frames = live_view.finish()
         if sim_cfg.GIF_animation_generation:
             print(f"live viz: {n_frames} frames -> "
                   f"{os.path.join(args.logs_path, sim_cfg.GIF_file_name)}")
-    sim_log = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *chunk_logs)
+    sim_log = buffers
     print(f"simulated {n_steps} steps in {wall:.2f}s "
           f"({wall / n_steps * 1e3:.3f} ms/step, compile excluded)")
 

@@ -148,16 +148,55 @@ def main():
             dist_deriv=nodist, dist_se=nodist,
         )
 
-    def rollout(sim, x0m, x0s, n):
+    # Per-step cotangent sanitation (exploding-BPTT treatment): the closed
+    # loop at the grip limit is locally chaotic — measured |grad| ~ 8 at
+    # 40-step windows, ~1e24 at 150, inf in f32 — and a single degenerate
+    # step's vjp can inject NaN/1e30 directly into the theta gradient. The
+    # tire vector therefore rides IN the scan carry, so every theta-gradient
+    # path passes this sanitizer at every step: the state cotangent is
+    # norm-clipped to 1 (truncated-BPTT bias, direction preserved), the
+    # accumulated theta slot is NaN-cleaned and elementwise-clamped.
+    @jax.custom_vjp
+    def sanitize_cotangent(state, thvec):
+        return state, thvec
+
+    def _cc_fwd(state, thvec):
+        return (state, thvec), None
+
+    def _cc_bwd(_, g):
+        gs, gt = g
+        # integer carry leaves (PRNG keys, counters) carry float0 cotangents
+        isf0 = lambda l: getattr(l, "dtype", None) == jax.dtypes.float0
+        leaves = [l for l in jax.tree_util.tree_leaves(gs) if not isf0(l)]
+        n2 = sum(jnp.sum(jnp.square(l)) for l in leaves)
+        n2 = jnp.where(jnp.isfinite(n2), n2, jnp.inf)
+        scale = jnp.minimum(1.0, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-30)))
+        scale = jnp.where(jnp.isfinite(scale), scale, 0.0)
+        clean = lambda l: l if isf0(l) else jnp.nan_to_num(l, posinf=0.0, neginf=0.0) * scale
+        gt = jnp.clip(jnp.nan_to_num(gt, posinf=0.0, neginf=0.0), -1e3, 1e3)
+        return jax.tree.map(clean, gs), gt
+
+    sanitize_cotangent.defvjp(_cc_fwd, _cc_bwd)
+
+    def rollout(make_ctrl_sim, theta, x0m, x0s, n):
+        sim0 = make_ctrl_sim(make_tp(theta))
         key = jax.random.PRNGKey(0)
-        carry = sim.init_carry(x0m, x0s, key)
+        carry = sim0.init_carry(x0m, x0s, key)
         zeros7 = jnp.zeros(7, dtype)
-        step = jax.checkpoint(lambda c, i: sim.step(c, (i, zeros7, zeros7)))
-        _, log = jax.lax.scan(step, carry, jnp.arange(n))
+
+        def step(c, i):
+            state, thvec = c
+            sim = make_ctrl_sim(make_tp(thvec))  # same jaxpr, carried theta
+            state, log = sim.step(state, (i, zeros7, zeros7))
+            return sanitize_cotangent(state, thvec), log
+
+        _, log = jax.lax.scan(jax.checkpoint(step), (carry, theta), jnp.arange(n))
         return log
 
-    def run_terms(sim, x0m_b, x0s_b, g_dev_b):
-        log = jax.vmap(lambda a, b: rollout(sim, a, b, args.chunk_len))(x0m_b, x0s_b)
+    def run_terms(make_ctrl_sim, theta, x0m_b, x0s_b, g_dev_b):
+        log = jax.vmap(
+            lambda a, b: rollout(make_ctrl_sim, theta, a, b, args.chunk_len)
+        )(x0m_b, x0s_b)
         dev = jnp.abs(log.lat_dev)                      # (nc, T)
         msum = mask.sum() * dev.shape[0]
         m_our = (dev * mask[None, :]).sum() / msum
@@ -165,28 +204,46 @@ def main():
         ratio = m_our / jnp.maximum(m_g, 1e-6)
         trace = (((dev - g_dev_b) * mask[None, :]) ** 2).sum() / msum
         blow = jax.nn.softplus(4.0 * (dev.max() - 1.5)).mean()
-        okfrac = jnp.mean((log.simSolverDebug[..., 4] == 0).astype(dtype))
+        # solver health over the masked (post-transient) region only —
+        # cold-start statuses in the skipped steps are expected
+        ok = (log.simSolverDebug[..., 4] == 0).astype(dtype)
+        okfrac = (ok * mask[None, :]).sum() / (mask.sum() * ok.shape[0])
         return ratio, trace, blow, okfrac
 
-    def loss_fn(theta):
-        tp = make_tp(theta)
-        nom = NominalNMPC(MPCConfig(), sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg)
-        snm = StochasticNMPC(
+    def make_nom(tp):
+        return build_sim(NominalNMPC(MPCConfig(), sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg))
+
+    def make_snm(tp):
+        return build_sim(StochasticNMPC(
             MPCConfig(controller="snmpc", uncertainty_propagation_horizon=15),
             sim_cfg.N, sim_cfg.Ts_MPC, vp, tp, gg,
-        )
-        rn, tn, bn, okn = run_terms(build_sim(nom), nom_x0m, nom_x0s, nom_gdev)
-        rs, ts_, bs, oks = run_terms(build_sim(snm), snm_x0m, snm_x0s, snm_gdev)
+        ))
+
+    def loss_fn(theta):
+        rn, tn, bn, okn = run_terms(make_nom, theta, nom_x0m, nom_x0s, nom_gdev)
+        rs, ts_, bs, oks = run_terms(make_snm, theta, snm_x0m, snm_x0s, snm_gdev)
         loss = (
             (rn - 1.0) ** 2 + (rs - 1.0) ** 2
             + 0.3 * (tn + ts_)
             + 1.0 * (bn + bs)
+            # proximal pull toward the known-lap-stable r4 blend: the
+            # SNMPC loop destabilizes for smallish shape changes (the r4
+            # one-step-fit lesson), and once chunks crash the gradient is
+            # noise — keep the search in the stable basin
+            + 0.5 * jnp.sum((theta - theta0) ** 2)
         )
         return loss, (rn, rs, tn, ts_, okn, oks)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
-    opt = optax.adam(args.lr)
+    # Global-norm clipping: the closed loop at the grip limit is locally
+    # chaotic (sensitivity grows exponentially in window length — measured
+    # |g| ~ 8 at 40-step chunks, ~1e24 at 150), so long-window gradients are
+    # clipped like any exploding-BPTT problem. Chunk lengths of 60-100 steps
+    # keep the raw direction informative; clipping bounds the step.
+    lr_cur = args.lr
+    best_loss = None
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr_cur))
     theta = theta0
     opt_state = opt.init(theta)
     os.makedirs(os.path.join(REPO, "Logs", "attribution"), exist_ok=True)
@@ -209,13 +266,28 @@ def main():
         print(line, flush=True)
         logf.write(line + "\n")
         logf.flush()
-        # score on the actual gate (both ratios near 1), only if healthy
+        # score on the actual gate (both ratios near 1), only if healthy;
+        # theta0 (the r4 blend, known lap-stable) seeds the fallback
         gate = max(abs(rn - 1.0), abs(rs - 1.0))
-        if okn > 0.999 and oks > 0.999 and gate < best[0]:
+        if okn >= 0.998 and oks >= 0.998 and gate < best[0]:
             best = (gate, theta)
-        if not np.isfinite(lv) or not np.isfinite(gnorm):
-            print("non-finite loss/grad; stopping at best-so-far")
-            break
+        # trust-region-style guard: a step that crashed chunks or inflated
+        # the loss left the stable basin — revert to the best-known theta
+        # and halve the learning rate instead of random-walking deeper
+        healthy = okn >= 0.995 and oks >= 0.995 and np.isfinite(lv)
+        if not healthy or (best_loss is not None and lv > 3.0 * best_loss):
+            lr_cur *= 0.5
+            if lr_cur < 1e-4 or best[1] is None:
+                print("learning rate floor reached; stopping at best-so-far")
+                break
+            theta = best[1]
+            opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr_cur))
+            opt_state = opt.init(theta)
+            print(f"  -> reverted to best theta, lr={lr_cur:.5f}")
+            logf.write(f"  -> reverted, lr={lr_cur:.5f}\n")
+            continue
+        if best_loss is None or lv < best_loss:
+            best_loss = lv
         updates, opt_state = opt.update(g, opt_state)
         theta = optax.apply_updates(theta, updates)
 

@@ -67,11 +67,19 @@ def _wrap_wmpc(ctrl, mpc_cfg: MPCConfig, sim_cfg: SimConfig):
         # self-built data/F_jax.csv) — must match training
         actions_file = rl_cfg.get("actions_file", actions_file)
     if not os.path.isabs(actions_file):
-        actions_file = os.path.join(cfg_mod.REPO_ROOT, actions_file)
-    if not os.path.exists(actions_file):
         # converted reference checkpoints carry the reference repo's layout
-        # (Learning_To_Adapt/SafeRL_WMPC/_parameters/F.csv); the same catalog
-        # ships here under data/<basename>
+        # (Learning_To_Adapt/SafeRL_WMPC/_parameters/<name>.csv); the same
+        # catalog ships here under data/<name> — an exact, known alias, so
+        # resolve it silently. Anything else resolves against the repo root
+        # and warns if a basename fallback has to be guessed.
+        ref_prefix = "Learning_To_Adapt/SafeRL_WMPC/_parameters/"
+        if actions_file.startswith(ref_prefix):
+            actions_file = os.path.join(
+                cfg_mod.REPO_ROOT, "data", actions_file[len(ref_prefix):]
+            )
+        else:
+            actions_file = os.path.join(cfg_mod.REPO_ROOT, actions_file)
+    if not os.path.exists(actions_file):
         fallback = os.path.join(cfg_mod.REPO_ROOT, "data", os.path.basename(actions_file))
         if os.path.exists(fallback):
             import warnings

@@ -54,9 +54,23 @@ def _setup_axes(plt, mode):
     return fig, ax_xy, extra
 
 
+def _window_limits(x, y, yaw, xwidth, ywidth):
+    """Heading-dependent asymmetric view limits (MPC_sim_utils.py:365-382):
+    most of the window lies ahead of the vehicle, quadrant-selected by yaw."""
+    yaw = np.mod(yaw, 2 * np.pi)
+    ahead_x = 0 <= yaw < np.pi / 2 or 3 * np.pi / 2 <= yaw
+    ahead_y = yaw < np.pi
+    xlim = (x - 0.2 * xwidth, x + 1.0 * xwidth) if ahead_x else (x - 1.0 * xwidth, x + 0.2 * xwidth)
+    ylim = (y - 0.2 * ywidth, y + 1.0 * ywidth) if ahead_y else (y - 1.0 * ywidth, y + 0.2 * ywidth)
+    return xlim, ylim
+
+
 def _draw_frame(ax_xy, extra, logs, i, track, veh_length, veh_width, window, mode):
-    """Render frame i of (possibly partial) logs onto the shared axes."""
+    """Render frame i of (possibly partial) logs onto the shared axes.
+    `window` is (xwidth, ywidth) — separate extents as in the reference
+    (sim_main_params.yaml live-viz keys; MPC_sim_utils.py:285-286)."""
     CiLX, REF, t = logs["CiLX"], logs["simREF"], logs["t"]
+    xwidth, ywidth = window
     ax_xy.clear()
     if track is not None:
         ax_xy.plot(track.center[:, 0], track.center[:, 1], "k--", lw=0.5)
@@ -65,8 +79,9 @@ def _draw_frame(ax_xy, extra, logs, i, track, veh_length, veh_width, window, mod
     ax_xy.plot(CiLX[: i + 1, 0], CiLX[: i + 1, 1], "b", lw=1.0)
     cx, cy = _car_outline(CiLX[i, 0], CiLX[i, 1], CiLX[i, 2], veh_length, veh_width)
     ax_xy.plot(cx, cy, "r")
-    ax_xy.set_xlim(CiLX[i, 0] - window / 2, CiLX[i, 0] + window / 2)
-    ax_xy.set_ylim(CiLX[i, 1] - window / 2, CiLX[i, 1] + window / 2)
+    xlim, ylim = _window_limits(CiLX[i, 0], CiLX[i, 1], CiLX[i, 2], xwidth, ywidth)
+    ax_xy.set_xlim(*xlim)
+    ax_xy.set_ylim(*ylim)
     ax_xy.set_title(f"t = {t[i-1]:.2f} s   v = {CiLX[i,3]:.1f} m/s")
     ax_xy.set_aspect("equal")
 
@@ -98,7 +113,7 @@ class LiveView:
     """
 
     def __init__(self, track=None, mode=2, veh_length=4.973, veh_width=1.941,
-                 window=100.0, gif_path=None, show=False):
+                 window=(100.0, 100.0), gif_path=None, show=False):
         import matplotlib
 
         if not show:
@@ -108,7 +123,9 @@ class LiveView:
         self._plt = plt
         self._track = track
         self._mode = mode
-        self._dims = (veh_length, veh_width, window)
+        if not isinstance(window, (tuple, list)):
+            window = (float(window), float(window))
+        self._dims = (veh_length, veh_width, tuple(window))
         self._gif_path = gif_path
         self._show = show
         self._images = []
@@ -132,7 +149,7 @@ class LiveView:
         if self._gif_path is not None and self._images:
             import imageio
 
-            imageio.mimsave(self._gif_path, self._images, fps=10)
+            imageio.mimsave(self._gif_path, self._images, duration=100, loop=0)
         if not self._show:
             self._plt.close(self.fig)
         return n
@@ -145,7 +162,7 @@ def animate(
     frame_skip: int = 10,
     veh_length: float = 4.973,
     veh_width: float = 1.941,
-    window: float = 100.0,
+    window=(100.0, 100.0),
     gif_path: str = None,
     show: bool = False,
     gg_table=None,
@@ -156,6 +173,9 @@ def animate(
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if not isinstance(window, (tuple, list)):
+        window = (float(window), float(window))
+    window = tuple(window)
     n = logs["simREF"].shape[0]
     frames = range(1, n, frame_skip)
 
@@ -173,7 +193,7 @@ def animate(
     if gif_path is not None and images:
         import imageio
 
-        imageio.mimsave(gif_path, images, fps=10)
+        imageio.mimsave(gif_path, images, duration=100, loop=0)
     if not show:
         plt.close(fig)
     return len(images)

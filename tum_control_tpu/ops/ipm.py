@@ -135,19 +135,25 @@ def solve_soft_qp_ipm(
         (jnp.sum(act_u) + jnp.sum(act_l) + jnp.sum(s_u) + jnp.sum(s_l)).astype(dtype), 1.0
     )
 
+    # stacked (4, nc) complementarity masks — the gap reductions and the
+    # eight fraction-to-boundary reductions below each collapse into ONE
+    # kernel instead of 4-8 separate reduce launches (the IPM is launch-
+    # latency bound: ~5 us per tiny kernel at batch 128, see docs/RESULTS.md
+    # roofline section)
+    comp_mask = jnp.stack([act_u, act_l, s_u, s_l])
+
+    def total_gap(lam_u, pu, lam_l, pl, mu_u, su, mu_l, sl):
+        prods = jnp.stack([lam_u * pu, lam_l * pl, mu_u * su, mu_l * sl])
+        return jnp.sum(jnp.where(comp_mask, prods, 0.0))
+
     def body(carry, _):
-        w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l = carry
-        v = con_mul(qp, w, n_id) + c0
+        w, Gw, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l = carry
+        v = Gw + c0  # G w carried incrementally (exact: updates are linear)
         # primal linkage residuals (zero once iterates become feasible)
         r_pu = jnp.where(act_u, v + pu - su - ub, 0.0)
         r_pl = jnp.where(act_l, pl - v - sl + lb, 0.0)
 
-        gap = (
-            jnp.sum(jnp.where(act_u, lam_u * pu, 0.0))
-            + jnp.sum(jnp.where(act_l, lam_l * pl, 0.0))
-            + jnp.sum(jnp.where(s_u, mu_u * su, 0.0))
-            + jnp.sum(jnp.where(s_l, mu_l * sl, 0.0))
-        )
+        gap = total_gap(lam_u, pu, lam_l, pl, mu_u, su, mu_l, sl)
 
         su_s = jnp.where(s_u, su, 1.0)
         sl_s = jnp.where(s_l, sl, 1.0)
@@ -166,8 +172,15 @@ def solve_soft_qp_ipm(
         H = H0 + con_normal(qp, sig_u + sig_l, n_id) + 1e-11 * eye
         L = chol_factor_packed(H)
 
-        def max_step(x, dx, mask):
-            ratio = jnp.where(mask & (dx < 0), -x / jnp.where(dx < 0, dx, -1.0), jnp.inf)
+        # one stacked (8, nc) fraction-to-boundary reduction (see comp_mask)
+        ftb_mask = jnp.concatenate([comp_mask, comp_mask])
+
+        def max_step_all(xs, dxs):
+            X = jnp.stack(xs)
+            D = jnp.stack(dxs)
+            ratio = jnp.where(
+                ftb_mask & (D < 0), -X / jnp.where(D < 0, D, -1.0), jnp.inf
+            )
             return jnp.min(ratio)
 
         def directions(tau):
@@ -190,34 +203,27 @@ def solve_soft_qp_ipm(
             dmu_l = jnp.where(s_l, (tau - mu_l * sl - mu_l * dsl) / sl_s, 0.0)
             dpu = jnp.where(act_u, dsu - Gdw - r_pu, 0.0)
             dpl = jnp.where(act_l, dsl + Gdw - r_pl, 0.0)
-            steps = jnp.stack(
-                [
-                    max_step(lam_u, dlam_u, act_u),
-                    max_step(lam_l, dlam_l, act_l),
-                    max_step(pu, dpu, act_u),
-                    max_step(pl, dpl, act_l),
-                    max_step(mu_u, dmu_u, s_u),
-                    max_step(mu_l, dmu_l, s_l),
-                    max_step(su, dsu, s_u),
-                    max_step(sl, dsl, s_l),
-                ]
+            # row order matches ftb_mask = [act_u, act_l, s_u, s_l] x 2
+            step = max_step_all(
+                (lam_u, lam_l, mu_u, mu_l, pu, pl, su, sl),
+                (dlam_u, dlam_l, dmu_u, dmu_l, dpu, dpl, dsu, dsl),
             )
-            alpha = jnp.minimum(1.0, gamma_ftb * jnp.min(steps))
-            return (dw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha
+            alpha = jnp.minimum(1.0, gamma_ftb * step)
+            return (dw, Gdw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha
 
         # Mehrotra: affine predictor fixes the centering parameter
         d_aff, alpha_aff = directions(jnp.zeros((), dtype=dtype))
-        _, dsu_a, dsl_a, dpu_a, dpl_a, dlu_a, dll_a, dmu_a, dml_a = d_aff
-        gap_aff = (
-            jnp.sum(jnp.where(act_u, (lam_u + alpha_aff * dlu_a) * (pu + alpha_aff * dpu_a), 0.0))
-            + jnp.sum(jnp.where(act_l, (lam_l + alpha_aff * dll_a) * (pl + alpha_aff * dpl_a), 0.0))
-            + jnp.sum(jnp.where(s_u, (mu_u + alpha_aff * dmu_a) * (su + alpha_aff * dsu_a), 0.0))
-            + jnp.sum(jnp.where(s_l, (mu_l + alpha_aff * dml_a) * (sl + alpha_aff * dsl_a), 0.0))
+        _, _, dsu_a, dsl_a, dpu_a, dpl_a, dlu_a, dll_a, dmu_a, dml_a = d_aff
+        gap_aff = total_gap(
+            lam_u + alpha_aff * dlu_a, pu + alpha_aff * dpu_a,
+            lam_l + alpha_aff * dll_a, pl + alpha_aff * dpl_a,
+            mu_u + alpha_aff * dmu_a, su + alpha_aff * dsu_a,
+            mu_l + alpha_aff * dml_a, sl + alpha_aff * dsl_a,
         )
         sig_c = jnp.clip((gap_aff / jnp.maximum(gap, 1e-30)) ** 3, 1e-4, 0.99)
         tau = sig_c * gap / nt
 
-        (dw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha = directions(tau)
+        (dw, Gdw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha = directions(tau)
 
         # freeze once converged (or if a step went non-finite) — keeps the
         # fixed-iteration scan numerically safe after the gap collapses
@@ -225,6 +231,7 @@ def solve_soft_qp_ipm(
         ok = unconverged & jnp.all(jnp.isfinite(dw)) & jnp.isfinite(alpha)
         upd = lambda x, dx, m: jnp.where(ok & m, x + alpha * dx, x)
         w = jnp.where(ok, w + alpha * dw, w)
+        Gw = jnp.where(ok, Gw + alpha * Gdw, Gw)
         su = upd(su, dsu, s_u)
         sl = upd(sl, dsl, s_l)
         pu = upd(pu, dpu, act_u)
@@ -235,27 +242,25 @@ def solve_soft_qp_ipm(
         mu_l = upd(mu_l, dmu_l, s_l)
         # stats count *unconverged* iterations, not applied updates: a solve
         # frozen by non-finite directions must not read as fast convergence
-        return (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), unconverged
+        return (w, Gw, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), unconverged
 
-    carry = (w, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l)
+    Gw0 = jnp.zeros(nc, dtype=dtype)  # G w at w = 0
+    carry = (w, Gw0, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l)
     carry, oks = jax.lax.scan(body, carry, None, length=n_iters)
     w = carry[0]
 
     # exact finish: a few semismooth-Newton steps from the IPM point
     w, kkt = newton_polish(qp, w, n_iters=n_polish, n_id=n_id)
     if want_stats:
-        _, su_f, sl_f, pu_f, pl_f, lu_f, ll_f, mu_f, ml_f = carry
-        gap_f = (
-            jnp.sum(jnp.where(act_u, lu_f * pu_f, 0.0))
-            + jnp.sum(jnp.where(act_l, ll_f * pl_f, 0.0))
-            + jnp.sum(jnp.where(s_u, mu_f * su_f, 0.0))
-            + jnp.sum(jnp.where(s_l, ml_f * sl_f, 0.0))
-        ) / nt
+        _, _, su_f, sl_f, pu_f, pl_f, lu_f, ll_f, mu_f, ml_f = carry
+        comp_mask_f = jnp.stack([act_u, act_l, s_u, s_l])
+        prods_f = jnp.stack([lu_f * pu_f, ll_f * pl_f, mu_f * su_f, ml_f * sl_f])
+        gap_f = jnp.sum(jnp.where(comp_mask_f, prods_f, 0.0)) / nt
         stats = IPMStats(iters=jnp.sum(oks.astype(jnp.int32)), gap=gap_f)
     if warm is None:
         return (w, kkt, stats) if want_stats else (w, kkt)
     warm_out = IPMWarm(
-        su=carry[1], sl=carry[2], lam_u=carry[5], lam_l=carry[6],
-        mu_u=carry[7], mu_l=carry[8],
+        su=carry[2], sl=carry[3], lam_u=carry[6], lam_l=carry[7],
+        mu_u=carry[8], mu_l=carry[9],
     )
     return (w, kkt, warm_out, stats) if want_stats else (w, kkt, warm_out)
