@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n-chunks", type=int, default=24)
+    ap.add_argument("--init", default=None,
+                    help="tire yaml to initialize theta from (default: the r4 blend)")
+    ap.add_argument("--ok-floor", type=float, default=0.995,
+                    help="revert when a run's masked solver-ok drops below this")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -107,7 +111,7 @@ def main():
                           Br=v[4], Cr=v[5], Dr=v[6], Er=v[7], mu=tp0.mu)
 
     # init at the r4 blend (known to complete both laps)
-    with open(BLEND_YAML) as fh:
+    with open(args.init or BLEND_YAML) as fh:
         by = yaml.safe_load(fh)["tire_params"]
     blend = np.array([
         by["front"]["Bf"], by["front"]["Cf"], by["front"]["Df"], by["front"]["Ef"],
@@ -203,7 +207,9 @@ def main():
         m_g = (g_dev_b * mask[None, :]).sum() / msum
         ratio = m_our / jnp.maximum(m_g, 1e-6)
         trace = (((dev - g_dev_b) * mask[None, :]) ** 2).sum() / msum
-        blow = jax.nn.softplus(4.0 * (dev.max() - 1.5)).mean()
+        # per-chunk divergence penalty (a global max is hypersensitive: one
+        # marginal chunk at the stability edge dominates the whole loss)
+        blow = jax.nn.softplus(4.0 * (dev.max(axis=1) - 1.5)).mean()
         # solver health over the masked (post-transient) region only —
         # cold-start statuses in the skipped steps are expected
         ok = (log.simSolverDebug[..., 4] == 0).astype(dtype)
@@ -230,7 +236,7 @@ def main():
             # SNMPC loop destabilizes for smallish shape changes (the r4
             # one-step-fit lesson), and once chunks crash the gradient is
             # noise — keep the search in the stable basin
-            + 0.5 * jnp.sum((theta - theta0) ** 2)
+            + 0.1 * jnp.sum((theta - theta0) ** 2)
         )
         return loss, (rn, rs, tn, ts_, okn, oks)
 
@@ -271,13 +277,14 @@ def main():
         gate = max(abs(rn - 1.0), abs(rs - 1.0))
         if okn >= 0.998 and oks >= 0.998 and gate < best[0]:
             best = (gate, theta)
-        # trust-region-style guard: a step that crashed chunks or inflated
-        # the loss left the stable basin — revert to the best-known theta
-        # and halve the learning rate instead of random-walking deeper
-        healthy = okn >= 0.995 and oks >= 0.995 and np.isfinite(lv)
-        if not healthy or (best_loss is not None and lv > 3.0 * best_loss):
+        # trust-region-style guard on the GATE (the deliverable), not the
+        # raw loss: a step that crashed chunks or sharply worsened both
+        # ratios left the stable basin — revert to the best-known theta and
+        # halve the learning rate instead of random-walking deeper
+        healthy = okn >= args.ok_floor and oks >= args.ok_floor and np.isfinite(lv)
+        if not healthy or gate > best[0] + 0.15:
             lr_cur *= 0.5
-            if lr_cur < 1e-4 or best[1] is None:
+            if lr_cur < 2e-4 or best[1] is None:
                 print("learning rate floor reached; stopping at best-so-far")
                 break
             theta = best[1]
@@ -286,8 +293,6 @@ def main():
             print(f"  -> reverted to best theta, lr={lr_cur:.5f}")
             logf.write(f"  -> reverted, lr={lr_cur:.5f}\n")
             continue
-        if best_loss is None or lv < best_loss:
-            best_loss = lv
         updates, opt_state = opt.update(g, opt_state)
         theta = optax.apply_updates(theta, updates)
 
@@ -311,7 +316,7 @@ def main():
             "  rear:\n"
             f"    Br: {vals['Br']:.6f}\n    Cr: {vals['Cr']:.6f}\n"
             f"    Dr: {vals['Dr']:.3f}\n    Er: {vals['Er']:.6f}\n"
-            f"  mu: {vals['mu']:.6f}\n"
+            f"mu: {vals['mu']:.6f}\n"
         )
     print("wrote", OUT_YAML)
     logf.close()

@@ -16,6 +16,13 @@ jnp implementation (vmap-able AND reverse-differentiable): XLA batched
 cholesky/cho_solve, the jnp condense scan, vmap(jacfwd) linearization.
 Slower on TPU (the Pallas kernels exist because the XLA fallbacks are),
 identical results to solver tolerance.
+
+A second use case besides autodiff: vmapping over MODEL PARAMETERS.
+jax.custom_vmap asserts that the wrapped function's closure constants
+are unbatched, so the production wrappers cannot batch over quantities
+the controllers capture in closures (tire/vehicle parameters). Parameter
+-population sweeps (tools/fit_tires_es.py) therefore also run in this
+mode.
 """
 import os
 
