@@ -84,15 +84,23 @@ def main():
         _, (lat, status) = jax.lax.scan(step, carry, jnp.arange(n_steps))
         return jnp.max(jnp.abs(lat)), jnp.mean((status == 0).astype(px.dtype))
 
-    runner = jax.jit(
-        jax.vmap(  # sets
-            jax.vmap(  # tracks
-                jax.vmap(run_one, in_axes=(None, None, 0)),  # seeds
-                in_axes=(None, 0, None),
-            ),
-            in_axes=(0, None, None),
-        )
-    )
+    # ONE flattened batch axis (sets x tracks x seeds), padded to a multiple
+    # of 128 — the Pallas kernels' native lane width
+    runner_flat = jax.jit(jax.vmap(run_one, in_axes=(0, 0, 0)))
+
+    def runner(table_j, tracks_idx, seeds):
+        S, Tk, Sd = table_j.shape[0], tracks_idx.shape[0], seeds.shape[0]
+        p = jnp.repeat(table_j, Tk * Sd, axis=0)
+        tr = jnp.tile(jnp.repeat(tracks_idx, Sd), S)
+        se = jnp.tile(seeds, S * Tk)
+        n = S * Tk * Sd
+        pad = (-n) % 128
+        if pad:
+            p = jnp.concatenate([p, jnp.tile(p[:1], (pad, 1))])
+            tr = jnp.concatenate([tr, jnp.tile(tr[:1], (pad,))])
+            se = jnp.concatenate([se, jnp.tile(se[:1], (pad,))])
+        ml, ok = runner_flat(p, tr, se)
+        return ml[:n].reshape(S, Tk, Sd), ok[:n].reshape(S, Tk, Sd)
 
     seeds = jnp.arange(args.seeds, dtype=jnp.int32)
     tracks_idx = jnp.arange(n_tracks, dtype=jnp.int32)

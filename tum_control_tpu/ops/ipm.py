@@ -29,13 +29,20 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tum_control_tpu.ops.pallas_kernels.chol import chol_apply_packed, chol_factor_packed
+import functools
+
+from jax import custom_batching
+
+from tum_control_tpu.ops.pallas_kernels.chol import LANES, _cholesky_tpu_packed
+from tum_control_tpu.ops.pallas_kernels.ipm_iter import (
+    fused_iteration_batched,
+    iteration_ref,
+    sigma_of,
+    _lanes,
+    _unlanes,
+)
 from tum_control_tpu.ops.soft_qp import (
     CondensedQP,
-    _mv,
-    con_mul,
-    con_normal,
-    con_tmul,
     newton_polish,
 )
 
@@ -81,6 +88,118 @@ def init_warm(nc: int, dtype=jnp.float32) -> IPMWarm:
     return IPMWarm(su=ones, sl=ones, lam_u=ones, lam_l=ones, mu_u=ones, mu_l=ones)
 
 
+def _masks_of(lb, ub, z2):
+    act_u = ub < BIG_THRESH
+    act_l = lb > -BIG_THRESH
+    soft = z2 < HARD_THRESH
+    return act_u, act_l, act_u & soft, act_l & soft
+
+
+def _iterations_ref_single(H0, g0, G, c0, lb, ub, z1, z2, nt, *carry,
+                           n_iters, n_id, gamma_ftb):
+    """Single-scenario reference: scan of {sigma -> H -> cholesky ->
+    iteration_ref}. Also the oracle the fused TPU path is tested against."""
+    from tum_control_tpu.ops.soft_qp import con_normal as _con_normal
+
+    act_u, act_l, s_u, s_l = _masks_of(lb, ub, z2)
+    eye = jnp.eye(H0.shape[0], dtype=H0.dtype)
+    qp = CondensedQP(H0=H0, g0=g0, G=G, c0=c0, lb=lb, ub=ub, z1=z1, z2=z2)
+    sig0 = sigma_of(*carry[2:10], z1, z2, act_u, act_l, s_u, s_l)
+
+    def body(cs, _):
+        c, sig = cs
+        H = H0 + _con_normal(qp, sig, n_id) + 1e-11 * eye
+        L = jnp.linalg.cholesky(H)
+        c, sig_next, unconv = iteration_ref(
+            L, G, H0, g0, c0, lb, ub, z1, z2, nt, *c,
+            n_id=n_id, gamma_ftb=gamma_ftb,
+        )
+        return (c, sig_next), unconv
+
+    (c, _), oks = jax.lax.scan(body, (tuple(carry), sig0), None, length=n_iters)
+    return tuple(c) + (oks,)
+
+
+@functools.lru_cache(maxsize=None)
+def _ipm_iterations(n_iters: int, n_id: int, gamma_ftb: float):
+    """custom_vmap: per-scenario jnp reference; under vmap on TPU/f32 with a
+    lane-multiple batch, the fused pipeline (MXU normal product + Cholesky
+    kernel + one fused iteration kernel per Mehrotra step)."""
+    from tum_control_tpu.ops.soft_qp import _NORMAL_PREC
+
+    @custom_batching.custom_vmap
+    def fn(H0, g0, G, c0, lb, ub, z1, z2, nt, *carry):
+        out = _iterations_ref_single(
+            H0, g0, G, c0, lb, ub, z1, z2, nt, *carry,
+            n_iters=n_iters, n_id=n_id, gamma_ftb=gamma_ftb,
+        )
+        return out  # 10 carry leaves + oks (n_iters,)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, H0, g0, G, c0, lb, ub, z1, z2, nt, *carry):
+        args = (H0, g0, G, c0, lb, ub, z1, z2, nt) + tuple(carry)
+        bc = lambda x, b: x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        H0, g0, G, c0, lb, ub, z1, z2, nt, *carry = (
+            bc(x, b) for x, b in zip(args, in_batched)
+        )
+        B = carry[0].shape[0]
+        nz = H0.shape[-1]
+        fast = (
+            jax.default_backend() == "tpu"
+            and H0.dtype == jnp.float32
+            and B % LANES == 0
+            and n_id == nz
+        )
+        if not fast:
+            out = jax.vmap(
+                lambda *a: _iterations_ref_single(
+                    *a, n_iters=n_iters, n_id=n_id, gamma_ftb=gamma_ftb
+                )
+            )(H0, g0, G, c0, lb, ub, z1, z2, nt, *carry)
+            return tuple(out), (True,) * 11
+
+        Gn = B // LANES
+        ncg = G.shape[1]
+        act_u, act_l, s_u, s_l = _masks_of(lb, ub, z2)
+
+        lanes_mat = lambda a: jnp.transpose(
+            a.reshape(Gn, LANES, a.shape[1], a.shape[2]), (0, 2, 3, 1)
+        )
+        Gt = lanes_mat(G)
+        H0t = lanes_mat(H0)
+        g0t = _lanes(g0, B)
+        c0t = _lanes(c0, B)
+        lbt = _lanes(lb, B)
+        ubt = _lanes(ub, B)
+        z1t = _lanes(z1, B)
+        z2t = _lanes(z2, B)
+        ntt = _lanes(nt[:, None], B)
+        carry_t = tuple(_lanes(x, B) for x in carry)
+
+        eye = jnp.eye(nz, dtype=H0.dtype)
+        sig0 = sigma_of(*carry[2:10], z1, z2, act_u, act_l, s_u, s_l)
+
+        def body(cs, _):
+            c_t, sig = cs
+            Hn = jnp.matmul(
+                jnp.swapaxes(G, 1, 2) * sig[:, None, :ncg], G,
+                precision=_NORMAL_PREC,
+            )
+            H = H0 + Hn + (sig[:, ncg:, None] + 1e-11) * eye[None]
+            Lt = _cholesky_tpu_packed(H)
+            c_t, sig_t, unc = fused_iteration_batched(
+                Lt, Gt, H0t, g0t, c0t, lbt, ubt, z1t, z2t, ntt, c_t,
+                gamma_ftb,
+            )
+            return (c_t, _unlanes(sig_t, B)), unc.reshape(B)
+
+        (c_t, _), oks = jax.lax.scan(body, (carry_t, sig0), None, length=n_iters)
+        carry_out = tuple(_unlanes(x, B) for x in c_t)
+        return carry_out + (jnp.moveaxis(oks, 0, 1),), (True,) * 11
+
+    return fn
+
+
 def solve_soft_qp_ipm(
     qp: CondensedQP,
     n_iters: int = 30,
@@ -100,7 +219,6 @@ def solve_soft_qp_ipm(
     nz = H0.shape[0]
     nc = c0.shape[0]
     dtype = H0.dtype
-    eye = jnp.eye(nz, dtype=dtype)
 
     act_u = ub < BIG_THRESH
     act_l = lb > -BIG_THRESH
@@ -135,118 +253,17 @@ def solve_soft_qp_ipm(
         (jnp.sum(act_u) + jnp.sum(act_l) + jnp.sum(s_u) + jnp.sum(s_l)).astype(dtype), 1.0
     )
 
-    # stacked (4, nc) complementarity masks — the gap reductions and the
-    # eight fraction-to-boundary reductions below each collapse into ONE
-    # kernel instead of 4-8 separate reduce launches (the IPM is launch-
-    # latency bound: ~5 us per tiny kernel at batch 128, see docs/RESULTS.md
-    # roofline section)
-    comp_mask = jnp.stack([act_u, act_l, s_u, s_l])
-
-    def total_gap(lam_u, pu, lam_l, pl, mu_u, su, mu_l, sl):
-        prods = jnp.stack([lam_u * pu, lam_l * pl, mu_u * su, mu_l * sl])
-        return jnp.sum(jnp.where(comp_mask, prods, 0.0))
-
-    def body(carry, _):
-        w, Gw, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l = carry
-        v = Gw + c0  # G w carried incrementally (exact: updates are linear)
-        # primal linkage residuals (zero once iterates become feasible)
-        r_pu = jnp.where(act_u, v + pu - su - ub, 0.0)
-        r_pl = jnp.where(act_l, pl - v - sl + lb, 0.0)
-
-        gap = total_gap(lam_u, pu, lam_l, pl, mu_u, su, mu_l, sl)
-
-        su_s = jnp.where(s_u, su, 1.0)
-        sl_s = jnp.where(s_l, sl, 1.0)
-        rs_u = z1 + z2 * su - lam_u - mu_u
-        rs_l = z1 + z2 * sl - lam_l - mu_l
-        b_u = z2 + mu_u / su_s
-        b_l = z2 + mu_l / sl_s
-        ipb_u = jnp.where(s_u, lam_u / (pu * b_u), 0.0)
-        ipb_l = jnp.where(s_l, lam_l / (pl * b_l), 0.0)
-        D_u = 1.0 + ipb_u
-        D_l = 1.0 + ipb_l
-        sig_u = jnp.where(act_u, lam_u / (pu * D_u), 0.0)
-        sig_l = jnp.where(act_l, lam_l / (pl * D_l), 0.0)
-
-        r_w = _mv(H0, w) + g0 + con_tmul(qp, lam_u - lam_l, n_id)
-        H = H0 + con_normal(qp, sig_u + sig_l, n_id) + 1e-11 * eye
-        L = chol_factor_packed(H)
-
-        # one stacked (8, nc) fraction-to-boundary reduction (see comp_mask)
-        ftb_mask = jnp.concatenate([comp_mask, comp_mask])
-
-        def max_step_all(xs, dxs):
-            X = jnp.stack(xs)
-            D = jnp.stack(dxs)
-            ratio = jnp.where(
-                ftb_mask & (D < 0), -X / jnp.where(D < 0, D, -1.0), jnp.inf
-            )
-            return jnp.min(ratio)
-
-        def directions(tau):
-            """Newton directions for barrier target tau (same factorization)."""
-            a_u = jnp.where(s_u, -rs_u + tau / su_s - mu_u, 0.0)
-            a_l = jnp.where(s_l, -rs_l + tau / sl_s - mu_l, 0.0)
-            chat_u = jnp.where(
-                act_u, (tau / pu - lam_u + lam_u * r_pu / pu - ipb_u * a_u) / D_u, 0.0
-            )
-            chat_l = jnp.where(
-                act_l, (tau / pl - lam_l + lam_l * r_pl / pl - ipb_l * a_l) / D_l, 0.0
-            )
-            dw = -chol_apply_packed(L, r_w + con_tmul(qp, chat_u - chat_l, n_id))
-            Gdw = con_mul(qp, dw, n_id)
-            dlam_u = jnp.where(act_u, chat_u + sig_u * Gdw, 0.0)
-            dlam_l = jnp.where(act_l, chat_l - sig_l * Gdw, 0.0)
-            dsu = jnp.where(s_u, (dlam_u + a_u) / b_u, 0.0)
-            dsl = jnp.where(s_l, (dlam_l + a_l) / b_l, 0.0)
-            dmu_u = jnp.where(s_u, (tau - mu_u * su - mu_u * dsu) / su_s, 0.0)
-            dmu_l = jnp.where(s_l, (tau - mu_l * sl - mu_l * dsl) / sl_s, 0.0)
-            dpu = jnp.where(act_u, dsu - Gdw - r_pu, 0.0)
-            dpl = jnp.where(act_l, dsl + Gdw - r_pl, 0.0)
-            # row order matches ftb_mask = [act_u, act_l, s_u, s_l] x 2
-            step = max_step_all(
-                (lam_u, lam_l, mu_u, mu_l, pu, pl, su, sl),
-                (dlam_u, dlam_l, dmu_u, dmu_l, dpu, dpl, dsu, dsl),
-            )
-            alpha = jnp.minimum(1.0, gamma_ftb * step)
-            return (dw, Gdw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha
-
-        # Mehrotra: affine predictor fixes the centering parameter
-        d_aff, alpha_aff = directions(jnp.zeros((), dtype=dtype))
-        _, _, dsu_a, dsl_a, dpu_a, dpl_a, dlu_a, dll_a, dmu_a, dml_a = d_aff
-        gap_aff = total_gap(
-            lam_u + alpha_aff * dlu_a, pu + alpha_aff * dpu_a,
-            lam_l + alpha_aff * dll_a, pl + alpha_aff * dpl_a,
-            mu_u + alpha_aff * dmu_a, su + alpha_aff * dsu_a,
-            mu_l + alpha_aff * dml_a, sl + alpha_aff * dsl_a,
-        )
-        sig_c = jnp.clip((gap_aff / jnp.maximum(gap, 1e-30)) ** 3, 1e-4, 0.99)
-        tau = sig_c * gap / nt
-
-        (dw, Gdw, dsu, dsl, dpu, dpl, dlam_u, dlam_l, dmu_u, dmu_l), alpha = directions(tau)
-
-        # freeze once converged (or if a step went non-finite) — keeps the
-        # fixed-iteration scan numerically safe after the gap collapses
-        unconverged = gap > 1e-11 * nt
-        ok = unconverged & jnp.all(jnp.isfinite(dw)) & jnp.isfinite(alpha)
-        upd = lambda x, dx, m: jnp.where(ok & m, x + alpha * dx, x)
-        w = jnp.where(ok, w + alpha * dw, w)
-        Gw = jnp.where(ok, Gw + alpha * Gdw, Gw)
-        su = upd(su, dsu, s_u)
-        sl = upd(sl, dsl, s_l)
-        pu = upd(pu, dpu, act_u)
-        pl = upd(pl, dpl, act_l)
-        lam_u = upd(lam_u, dlam_u, act_u)
-        lam_l = upd(lam_l, dlam_l, act_l)
-        mu_u = upd(mu_u, dmu_u, s_u)
-        mu_l = upd(mu_l, dmu_l, s_l)
-        # stats count *unconverged* iterations, not applied updates: a solve
-        # frozen by non-finite directions must not read as fast convergence
-        return (w, Gw, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l), unconverged
-
     Gw0 = jnp.zeros(nc, dtype=dtype)  # G w at w = 0
     carry = (w, Gw0, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l)
-    carry, oks = jax.lax.scan(body, carry, None, length=n_iters)
+    # the Mehrotra iterations: shared math in pallas_kernels/ipm_iter.py —
+    # jnp reference per scenario (CPU/f64), ONE fused Pallas kernel per
+    # iteration + MXU normal-matrix product + Cholesky kernel under vmap on
+    # TPU (3 launches/iteration instead of ~20; the IPM is launch-latency
+    # bound, docs/RESULTS.md roofline)
+    out = _ipm_iterations(n_iters, n_id, gamma_ftb)(
+        qp.H0, qp.g0, qp.G, c0, lb, ub, z1, z2, nt, *carry
+    )
+    carry, oks = out[:10], out[10]
     w = carry[0]
 
     # exact finish: a few semismooth-Newton steps from the IPM point
