@@ -258,17 +258,53 @@ def test_statistics_vs_golden(golden_nmpc_log):
     assert np.abs(o_u[:, 0]).max() < 3.0 * max(np.abs(g_u[:, 0]).max(), 1.0)
 
 
+CL_TIRES = "EDGAR/pacejka_params_2023fit_cl.yaml"
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+def test_nominal_statistics_vs_golden_fitted_tires():
+    """Nominal golden-parity gate with the r5 closed-loop-calibrated tires
+    (pacejka_params_2023fit_cl.yaml — chunk-scale gradient fit through the
+    sim scan + lap-scale batched-rollout ES, tools/fit_tires_closedloop.py
+    + fit_tires_es.py; docs/PARITY.md r5): the full 120 s Monteblanco
+    nominal lap must match the ACC24 nominal golden's mean dev_lat within
+    10% (measured r5: +5.4%, max 0.84 vs 0.76 m, 100% success). ONE tire
+    set shared with the SNMPC gate below."""
+    import os
+
+    golden = (
+        "/root/reference/Papers_Plots/ACC24_SNMPC/"
+        "NMPC_FnodistSE_n10uph15v0.8vlt0.35yrt0.035p0.82023-09-17_16-06-27/"
+        "full_logs.npz"
+    )
+    if not os.path.exists(golden):
+        pytest.skip("reference golden logs unavailable")
+    d = np.load(golden)
+    n = d["simU"].shape[0]
+    sim_cfg = SimConfig(
+        sim_mode=0, T=n * 0.02,
+        tire_params_file_MPC=CL_TIRES, tire_params_file_simulator=CL_TIRES,
+    )
+    carry, log, *_ = _run(sim_cfg, MPCConfig(), n)
+    assert np.all(np.array(log.simSolverDebug[:, 4]) == 0)
+    g_mean = np.abs(d["dev_lat"][:n]).mean()
+    o_mean = np.abs(np.array(log.lat_dev)).mean()
+    assert abs(o_mean - g_mean) / g_mean < 0.10, (o_mean, g_mean)
+    assert np.abs(np.array(log.lat_dev)).max() < 1.25 * np.abs(d["dev_lat"]).max()
+
+
 @pytest.mark.golden
 @pytest.mark.slow
 def test_snmpc_statistics_vs_golden_fitted_tires():
-    """SNMPC golden attribution gate (VERDICT r3 #6): with the committed
-    SNMPC-consistent 2023 tire proxy (pacejka_params_2023fit_snmpc.yaml —
-    see tools/golden_attribution.py and docs/PARITY.md: the one-step-optimal
-    fit reproduces the nominal golden but is closed-loop-unstable under the
-    SNMPC sample fan; the shape blend reproduces both goldens) and the
-    golden run's own config (n_samples=10, UPH=15), the full 120 s
-    Monteblanco SNMPC lap must statistically match the ACC24 SNMPC golden
-    (SNMPC_FnodistSE_n10uph15...16-03-35/full_logs.npz)."""
+    """SNMPC golden-parity gate with the SAME r5 calibrated tire set as the
+    nominal gate above. Residual: +17.5% mean (r5) — the SNMPC ratio is
+    pinned near +15-18% across the entire explored tire manifold (one-step
+    fits, shape blends, chunked closed-loop gradient descent, 110+ full-lap
+    ES generations); the goldens' SNMPC tracked BETTER than their own
+    nominal at identical speed (0.90x mean dev_lat), an advantage no
+    8-parameter Pacejka set reproduces jointly — full forensics in
+    docs/PARITY.md r5. Gate at 20% (tightened from the r4 blend's 25%)."""
     import os
 
     golden = (
@@ -282,17 +318,15 @@ def test_snmpc_statistics_vs_golden_fitted_tires():
     n = d["simU"].shape[0]
     sim_cfg = SimConfig(
         sim_mode=0, T=n * 0.02,
-        tire_params_file_MPC="EDGAR/pacejka_params_2023fit_snmpc.yaml",
-        tire_params_file_simulator="EDGAR/pacejka_params_2023fit_snmpc.yaml",
+        tire_params_file_MPC=CL_TIRES, tire_params_file_simulator=CL_TIRES,
     )
     mpc_cfg = MPCConfig(controller="snmpc", uncertainty_propagation_horizon=15)
     carry, log, *_ = _run(sim_cfg, mpc_cfg, n)
     assert np.all(np.array(log.simSolverDebug[:, 4]) == 0)
     g_mean = np.abs(d["dev_lat"][:n]).mean()
     o_mean = np.abs(np.array(log.lat_dev)).mean()
-    # statistical match through the shape-blend proxy: mean within 25%,
-    # peak within 1.25x (measured r4: +18.1% mean, 0.88 vs 0.77 m max)
-    assert abs(o_mean - g_mean) / g_mean < 0.25, (o_mean, g_mean)
+    # measured r5: +17.5% mean, max 0.87 vs 0.77 m
+    assert abs(o_mean - g_mean) / g_mean < 0.20, (o_mean, g_mean)
     assert np.abs(np.array(log.lat_dev)).max() < 1.25 * np.abs(d["dev_lat"]).max()
 
 

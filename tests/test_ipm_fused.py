@@ -83,9 +83,14 @@ def test_fused_iteration_matches_reference(nz, ncg):
     H = H0 + Hn + (sig[:, ncg:, None] + 1e-11) * eye[None]
     L = jnp.linalg.cholesky(H.astype(jnp.float64)).astype(jnp.float32)
 
+    lam_d_r = carry[6] - carry[7]
+    rw_r = (
+        jnp.sum(H0 * carry[0][:, None, :], axis=2) + g0
+        + jnp.sum(G * lam_d_r[:, :ncg, None], axis=1) + lam_d_r[:, ncg:]
+    )
     ref_out = jax.vmap(
         lambda *a: iteration_ref(*a, n_id=nz, gamma_ftb=0.99)
-    )(L, G, H0, g0, c0, lb, ub, z1, z2, nt, *carry)
+    )(L, G, rw_r, c0, lb, ub, z1, z2, nt, *carry)
     ref_carry, ref_sig, ref_unc = ref_out
 
     # kernel (interpret mode): pad L to npad with identity tail
@@ -96,9 +101,14 @@ def test_fused_iteration_matches_reference(nz, ncg):
     lanes_mat = lambda a: jnp.transpose(
         a.reshape(B // LANES, LANES, a.shape[1], a.shape[2]), (0, 2, 3, 1)
     )
+    lam_d = carry[6] - carry[7]
+    rw = (
+        jnp.sum(H0 * carry[0][:, None, :], axis=2) + g0
+        + jnp.sum(G * lam_d[:, :ncg, None], axis=1) + lam_d[:, ncg:]
+    )
     k_carry, k_sig, k_unc = fused_iteration_batched(
-        lanes_mat(Lp), lanes_mat(G), lanes_mat(H0),
-        _lanes(g0, B), _lanes(c0, B), _lanes(lb, B), _lanes(ub, B),
+        lanes_mat(Lp), lanes_mat(G), _lanes(rw, B),
+        _lanes(c0, B), _lanes(lb, B), _lanes(ub, B),
         _lanes(z1, B), _lanes(z2, B), _lanes(nt[:, None], B),
         tuple(_lanes(x, B) for x in carry), 0.99, interpret=True,
     )

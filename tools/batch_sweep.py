@@ -29,11 +29,31 @@ def main():
     print(f"devices: {jax.devices()}  steps={steps}", flush=True)
     print(f"{'batch':>6} {'solves/s':>10} {'us/solve':>9} {'rel_eff':>8} {'p99 lat_dev':>12}")
     base = None
+    TILE = 512  # VMEM-optimal sub-program batch: beyond it the step's
+    # inter-kernel intermediates spill to HBM (roofline r4: -33% at 1024).
+    # Larger scenario counts tile across sequential 512-wide sub-programs
+    # via lax.map, holding per-scenario throughput flat instead.
     for batch in batches:
         x0m_b, x0s_b = batched_scenarios(traj, batch, dtype=jnp.float32)
         keys = jax.random.split(jax.random.PRNGKey(0), batch)
         settle_b = jax.jit(jax.vmap(lambda a, b, k: sim.run(a, b, settle, key=k)[0]))
-        run_b = jax.jit(jax.vmap(lambda c: sim.run_from(c, steps)))
+        if batch > TILE:
+            tiles = batch // TILE
+
+            def run_b_fn(c):
+                ct = jax.tree.map(
+                    lambda a: a.reshape((tiles, TILE) + a.shape[1:]), c
+                )
+                out = jax.lax.map(
+                    lambda cc: jax.vmap(lambda x: sim.run_from(x, steps))(cc), ct
+                )
+                return jax.tree.map(
+                    lambda a: a.reshape((batch,) + a.shape[2:]), out
+                )
+
+            run_b = jax.jit(run_b_fn)
+        else:
+            run_b = jax.jit(jax.vmap(lambda c: sim.run_from(c, steps)))
         c0 = settle_b(x0m_b, x0s_b, keys)
         _, lg = run_b(c0)
         jax.block_until_ready(lg.lat_dev)  # compile + warm

@@ -146,10 +146,30 @@ def main():
     )
     print(hdr)
     rows = []
+    TILE = 512  # VMEM-optimal sub-program batch; larger scenario counts
+    # tile across sequential 512-wide sub-programs via lax.map (holds
+    # per-scenario throughput flat where the monolithic program spilled)
     for batch in batches:
         x0m_b, x0s_b = batched_scenarios(traj, batch, dtype=jnp.float32)
         keys = jax.random.split(jax.random.PRNGKey(0), batch)
-        run_b = jax.jit(jax.vmap(lambda a, b, k: sim.run(a, b, R, key=k)))
+        if batch > TILE:
+            tiles = batch // TILE
+
+            def run_b_fn(a, b, k):
+                rs = lambda x: x.reshape((tiles, TILE) + x.shape[1:])
+                out = jax.lax.map(
+                    lambda abk: jax.vmap(
+                        lambda aa, bb, kk: sim.run(aa, bb, R, key=kk)
+                    )(*abk),
+                    (rs(a), rs(b), rs(k)),
+                )
+                return jax.tree.map(
+                    lambda x: x.reshape((batch,) + x.shape[2:]), out
+                )
+
+            run_b = jax.jit(run_b_fn)
+        else:
+            run_b = jax.jit(jax.vmap(lambda a, b, k: sim.run(a, b, R, key=k)))
         compiled = run_b.lower(x0m_b, x0s_b, keys).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca

@@ -106,12 +106,22 @@ def _iterations_ref_single(H0, g0, G, c0, lb, ub, z1, z2, nt, *carry,
     qp = CondensedQP(H0=H0, g0=g0, G=G, c0=c0, lb=lb, ub=ub, z1=z1, z2=z2)
     sig0 = sigma_of(*carry[2:10], z1, z2, act_u, act_l, s_u, s_l)
 
+    ncg = G.shape[0]
+
     def body(cs, _):
         c, sig = cs
         H = H0 + _con_normal(qp, sig, n_id) + 1e-11 * eye
         L = jnp.linalg.cholesky(H)
+        w_c, lam_u_c, lam_l_c = c[0], c[6], c[7]
+        lam_d = lam_u_c - lam_l_c
+        rw = (
+            jnp.sum(H0 * w_c[None, :], axis=-1) + g0
+            + jnp.sum(G * lam_d[:ncg, None], axis=-2)
+        )
+        if n_id:
+            rw = rw + lam_d[ncg:]
         c, sig_next, unconv = iteration_ref(
-            L, G, H0, g0, c0, lb, ub, z1, z2, nt, *c,
+            L, G, rw, c0, lb, ub, z1, z2, nt, *c,
             n_id=n_id, gamma_ftb=gamma_ftb,
         )
         return (c, sig_next), unconv
@@ -179,6 +189,8 @@ def _ipm_iterations(n_iters: int, n_id: int, gamma_ftb: float):
         eye = jnp.eye(nz, dtype=H0.dtype)
         sig0 = sigma_of(*carry[2:10], z1, z2, act_u, act_l, s_u, s_l)
 
+        nc = c0.shape[-1]
+
         def body(cs, _):
             c_t, sig = cs
             Hn = jnp.matmul(
@@ -187,8 +199,23 @@ def _ipm_iterations(n_iters: int, n_id: int, gamma_ftb: float):
             )
             H = H0 + Hn + (sig[:, ncg:, None] + 1e-11) * eye[None]
             Lt = _cholesky_tpu_packed(H)
+            # stationarity residual rw = H0 w + g0 + G'(lam_u - lam_l),
+            # computed HERE (XLA, lanes-layout einsums) so the kernel does
+            # not stream the (nz, nz) H0 — its largest operand, which blew
+            # the 16 MB scoped-VMEM limit at multi-block grids
+            w_t, lu_t, ll_t = c_t[0], c_t[6], c_t[7]
+            lam_d = lu_t - ll_t
+            # broadcast-multiply + reduce, NOT einsum/dot: the IPM's
+            # gradient matvecs must be f32-exact (MXU bf16 passes bias the
+            # QP solution directly — multi-meter weave, see soft_qp._mv)
+            rwt = (
+                jnp.sum(H0t * w_t[:, None, :, :], axis=2)
+                + g0t
+                + jnp.sum(Gt * lam_d[:, :ncg, None, :], axis=1)
+                + lam_d[:, ncg:]
+            )
             c_t, sig_t, unc = fused_iteration_batched(
-                Lt, Gt, H0t, g0t, c0t, lbt, ubt, z1t, z2t, ntt, c_t,
+                Lt, Gt, rwt, c0t, lbt, ubt, z1t, z2t, ntt, c_t,
                 gamma_ftb,
             )
             return (c_t, _unlanes(sig_t, B)), unc.reshape(B)

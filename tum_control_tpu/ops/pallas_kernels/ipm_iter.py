@@ -64,13 +64,17 @@ def sigma_of(su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l, z1, z2,
 # ---------------------------------------------------------------------------
 # pure-jnp reference (single scenario) — primal + oracle
 # ---------------------------------------------------------------------------
-def iteration_ref(L, G, H0, g0, c0, lb, ub, z1, z2, nt,
+def iteration_ref(L, G, rw, c0, lb, ub, z1, z2, nt,
                   w, Gw, su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l,
                   *, n_id: int, gamma_ftb: float):
     """One Mehrotra iteration from the Cholesky factor L of the current
-    normal matrix. Returns the updated 10-tuple carry + sigma for the next
-    iteration's H + the `unconverged` flag. Math identical to the r4
-    ops/ipm.py scan body (incl. the incremental G w carry)."""
+    normal matrix and the precomputed stationarity residual
+    rw = H0 w + g0 + G'(lam_u - lam_l) (computed OUTSIDE the kernel: H0 is
+    the kernel's largest operand and pushed the multi-block VMEM footprint
+    past the 16 MB scoped limit). Returns the updated 10-tuple carry +
+    sigma for the next iteration's H + the `unconverged` flag. Math
+    identical to the r4 ops/ipm.py scan body (incl. the incremental G w
+    carry)."""
     ncg = G.shape[0]
     act_u = ub < 1e10
     act_l = lb > -1e10
@@ -104,7 +108,7 @@ def iteration_ref(L, G, H0, g0, c0, lb, ub, z1, z2, nt,
      sig_u, sig_l) = _barrier_terms(
         su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l, z1, z2, act_u, act_l, s_u, s_l
     )
-    r_w = jnp.sum(H0 * w[None, :], axis=-1) + g0 + con_tmul(lam_u - lam_l)
+    r_w = rw
     ftb_mask = jnp.concatenate([comp_mask, comp_mask])
 
     def directions(tau):
@@ -169,7 +173,7 @@ def iteration_ref(L, G, H0, g0, c0, lb, ub, z1, z2, nt,
 def _make_kernel(nz: int, ncg: int, npad: int, gamma_ftb: float):
     nc = ncg + nz  # general rows + identity rows (n_id == nz by construction)
 
-    def kernel(L_ref, G_ref, H0_ref, g0_ref, c0_ref, lb_ref, ub_ref,
+    def kernel(L_ref, G_ref, rw_ref, c0_ref, lb_ref, ub_ref,
                z1_ref, z2_ref, nt_ref,
                w_ref, Gw_ref, su_ref, sl_ref, pu_ref, pl_ref,
                lu_ref, ll_ref, mu_ref, ml_ref,
@@ -179,7 +183,6 @@ def _make_kernel(nz: int, ncg: int, npad: int, gamma_ftb: float):
                # scratch
                x_ref):
         G = G_ref[0]            # (ncg, nz, 128)
-        H0 = H0_ref[0]          # (nz, nz, 128)
         c0 = c0_ref[0]          # (nc, 128)
         lb = lb_ref[0]
         ub = ub_ref[0]
@@ -276,7 +279,7 @@ def _make_kernel(nz: int, ncg: int, npad: int, gamma_ftb: float):
             su, sl, pu, pl, lam_u, lam_l, mu_u, mu_l, z1, z2,
             act_u, act_l, s_u, s_l,
         )
-        r_w = jnp.sum(H0 * w[None, :, :], axis=1) + g0_ref[0] + con_tmul(lam_u - lam_l)
+        r_w = rw_ref[0]
 
         def directions(tau):      # tau (128,)
             a_u = jnp.where(s_u, -rs_u + tau[None, :] / su_s - mu_u, 0.0)
@@ -365,7 +368,7 @@ def _make_kernel(nz: int, ncg: int, npad: int, gamma_ftb: float):
         mlo_ref[0] = ml_n
         sino_ref[0] = sigma_of(su_n, sl_n, pu_n, pl_n, lu_n, ll_n, mu_n, ml_n,
                                z1, z2, act_u, act_l, s_u, s_l)
-        unc_ref[0] = unconverged
+        unc_ref[0] = unconverged[None, :]
 
     return kernel
 
@@ -383,12 +386,13 @@ def _unlanes(a, B):
 
 
 @functools.partial(jax.jit, static_argnames=("gamma_ftb", "interpret"))
-def fused_iteration_batched(Lt, Gt, H0t, g0t, c0t, lbt, ubt, z1t, z2t, ntt,
+def fused_iteration_batched(Lt, Gt, rwt, c0t, lbt, ubt, z1t, z2t, ntt,
                             carry_t, gamma_ftb: float, interpret: bool = False):
     """All operands already in lanes layout:
-    Lt (G, npad, npad, LANES); Gt (G, ncg, nz, LANES); H0t (G, nz, nz, LANES);
-    vectors (G, r, LANES); ntt (G, 1, LANES); carry_t = 10-tuple of lanes
-    vectors. Returns (carry_t', sigma_t (G, nc, LANES), unconv (G, LANES))."""
+    Lt (G, npad, npad, LANES); Gt (G, ncg, nz, LANES); rwt (G, nz, LANES)
+    the precomputed stationarity residual; vectors (G, r, LANES);
+    ntt (G, 1, LANES); carry_t = 10-tuple of lanes vectors. Returns
+    (carry_t', sigma_t (G, nc, LANES), unconv (G, 1, LANES))."""
     Gn, npad = Lt.shape[0], Lt.shape[1]
     ncg, nz = Gt.shape[1], Gt.shape[2]
     nc = ncg + nz
@@ -398,21 +402,20 @@ def fused_iteration_batched(Lt, Gt, H0t, g0t, c0t, lbt, ubt, z1t, z2t, ntt,
                                        memory_space=pltpu.VMEM)
     bs_vec = lambda r: pl.BlockSpec((1, r, LANES), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
-    bs_lane = pl.BlockSpec((1, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     carry_specs = [bs_vec(nz), bs_vec(nc)] + [bs_vec(nc)] * 8
     out_shapes = (
         [jax.ShapeDtypeStruct((Gn, nz, LANES), dt),
          jax.ShapeDtypeStruct((Gn, nc, LANES), dt)]
         + [jax.ShapeDtypeStruct((Gn, nc, LANES), dt)] * 8
         + [jax.ShapeDtypeStruct((Gn, nc, LANES), dt),
-           jax.ShapeDtypeStruct((Gn, LANES), jnp.bool_)]
+           jax.ShapeDtypeStruct((Gn, 1, LANES), jnp.bool_)]
     )
-    out_specs = carry_specs + [bs_vec(nc), bs_lane]
+    out_specs = carry_specs + [bs_vec(nc), bs_vec(1)]
     outs = pl.pallas_call(
         _make_kernel(nz, ncg, npad, gamma_ftb),
         grid=grid,
         in_specs=[
-            bs_mat(npad, npad), bs_mat(ncg, nz), bs_mat(nz, nz),
+            bs_mat(npad, npad), bs_mat(ncg, nz),
             bs_vec(nz), bs_vec(nc), bs_vec(nc), bs_vec(nc), bs_vec(nc),
             bs_vec(nc), bs_vec(1),
         ] + carry_specs,
@@ -420,6 +423,6 @@ def fused_iteration_batched(Lt, Gt, H0t, g0t, c0t, lbt, ubt, z1t, z2t, ntt,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((npad, LANES), dt)],
         interpret=interpret,
-    )(Lt, Gt, H0t, g0t, c0t, lbt, ubt, z1t, z2t, ntt, *carry_t)
+    )(Lt, Gt, rwt, c0t, lbt, ubt, z1t, z2t, ntt, *carry_t)
     carry_out = tuple(outs[:10])
     return carry_out, outs[10], outs[11]
