@@ -166,9 +166,16 @@ def main():
 
         # Shared absolute deadline grid: applicator actuates at d_k, the
         # dispatcher launches step k at d_k - lead. 250 ms in the future so
-        # both threads are up before d_0.
+        # both threads are up before d_0. The C executor re-anchors its
+        # grid after a deadline miss (freeze), so the applicator's ACTUAL
+        # clock drifts from this theoretical grid over a stormy run; the
+        # applicator publishes its latest (cycle, t0) and the dispatcher
+        # re-syncs to it (otherwise every re-anchor permanently inflates
+        # the age of all subsequent applied controls — measured +5 ms p50
+        # over a 31-freeze window).
         t_base = time.perf_counter_ns() + 250_000_000
         deadlines = t_base + period_ns * np.arange(args.cycles, dtype=np.int64)
+        apply_clock = [None]  # (cycle index, cycle start ns), applicator-owned
 
         # Sentinel: an idle thread stamping the monotonic clock every 2 ms.
         # Gaps >10 ms are host freezes (hypervisor vCPU preemption — measured
@@ -206,7 +213,12 @@ def main():
             try:
                 for i in range(args.cycles):
                     lead_log[i] = lead[0]
-                    t_target = int(deadlines[i]) - lead[0]
+                    ac = apply_clock[0]
+                    if ac is None:
+                        base = int(deadlines[i])
+                    else:  # applicator's real grid, extrapolated to step i
+                        base = ac[1] + (i - ac[0]) * period_ns
+                    t_target = base - lead[0]
                     disp_tgt[i] = t_target
                     now = time.perf_counter_ns()
                     if now < t_target:
@@ -295,6 +307,7 @@ def main():
                 time.sleep(rem / 1e9)
             for i in range(args.cycles):
                 t0 = ex.begin_cycle()
+                apply_clock[0] = (i, t0)  # publish the real grid (slot swap)
                 # Hard-RT path: pure memory reads — never blocks on the device.
                 seq, t_disp, t_done, p = latest[0]
                 age_ns = time.perf_counter_ns() - t_disp
