@@ -202,15 +202,14 @@ def main():
         print(f"  {k:10s}: {lo:6.2f} -> {hi:6.2f}  ({hi/lo:.2f}x)")
     best = min(rows, key=lambda r: r[1] / r[0])
     print(
-        f"\nInterpretation: achieved HBM bandwidth stays <= ~8% of peak and\n"
+        f"\nInterpretation: achieved HBM bandwidth stays <= ~10% of peak and\n"
         f"FLOP/s far below any compute peak — the step is latency / VPU-issue\n"
-        f"bound on small per-scenario ops, not bandwidth-saturated. Isolated\n"
-        f"stages keep amortizing with batch; the full chained program peaks\n"
-        f"at batch {best[0]} ({best[0]/best[1]:.0f} solves/s this run) and\n"
-        f"declines at the largest batches, where the per-step working set\n"
-        f"(~0.37 MB/scenario) exceeds VMEM residency between fusions and\n"
-        f"inter-stage HBM round-trips stop overlapping. Throughput is\n"
-        f"within ~15% across batch 128-512 — pick by latency needs."
+        f"bound on small per-scenario ops, not bandwidth-saturated. This\n"
+        f"protocol peaks at batch {best[0]} ({best[0]/best[1]:.0f} solves/s\n"
+        f"this run); batches beyond {TILE} tile across sequential\n"
+        f"{TILE}-wide sub-programs, which removed the old large-batch VMEM\n"
+        f"spill (r4: -33% at 1024). The canonical 1000-step bench protocol\n"
+        f"prefers batch 128 by ~4% — state the protocol with every number."
     )
 
 
