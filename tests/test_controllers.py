@@ -19,6 +19,7 @@ def _window(N, v=20.0):
     )
 
 
+@pytest.mark.slow
 def test_rnmpc_one_step_delayed_tightening():
     sim_cfg = SimConfig()
     ctrl = build_controller(MPCConfig(controller="rnmpc"), sim_cfg)
@@ -136,6 +137,7 @@ def test_snmpc_constraint_is_nominal_beyond_uph():
     assert h_cc[0] > h_nom[0]
 
 
+@pytest.mark.slow
 def test_full_zoro_augmented_model():
     """Full-ZoRo augmented model (robust_utils): packed-symmetric round
     trip, Lyapunov covariance growth consistent with the discrete

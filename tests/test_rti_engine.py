@@ -132,6 +132,7 @@ def test_qp_iter_stat_is_real_convergence_telemetry():
     assert np.isfinite(float(np.asarray(stats_cold.gap)))
 
 
+@pytest.mark.slow
 def test_external_fixed_point_stationary_anisotropic():
     """EXTERNAL cost with q_lon != q_lat: the RTI fixed point must be
     stationary for the *ego-frame* exact-penalty NLP (the objective of
@@ -166,6 +167,7 @@ def test_external_fixed_point_stationary_anisotropic():
     assert np.abs(g).max() < 1e-4 * max(1.0, base), (np.abs(g).max(), base)
 
 
+@pytest.mark.slow
 def test_external_matches_ls_when_isotropic_differs_when_not():
     """With q_lon == q_lat the rotation is cost-invariant, so EXTERNAL and
     NONLINEAR_LS share the NLP minimizer; with distinct lon/lat weights the
