@@ -116,16 +116,22 @@ def _chol_kernel_blocked(a_ref, l_ref):
                     - col[:, None, :] * rowfac[None, :, :]
                 )
             l_ref[0, jb:, j, :] = col
-        # --- rank-BS trailing update (rows/cols >= jb+BS only)
+        # --- rank-BS trailing update, LOWER TRAPEZOID only: the factor's
+        # strict upper triangle is zeroed at the end anyway, so updating it
+        # is pure waste — per BS-row panel rb, only columns jb+BS..rb+BS
+        # are touched (half the VPU element-ops of the full-square update)
         if jb + BS < n:
-            upd = None
-            for t in range(BS):
-                cp = l_ref[0, jb + BS :, jb + t, :]           # (nt, 128)
-                term = cp[:, None, :] * cp[None, :, :]        # (nt, nt, 128)
-                upd = term if upd is None else upd + term
-            l_ref[0, jb + BS :, jb + BS :, :] = (
-                l_ref[0, jb + BS :, jb + BS :, :] - upd
-            )
+            for rb in range(jb + BS, n, BS):
+                ncols = rb + BS - (jb + BS)
+                acc = None
+                for t in range(BS):
+                    cr = l_ref[0, rb : rb + BS, jb + t, :]          # (BS, 128)
+                    cc = l_ref[0, jb + BS : rb + BS, jb + t, :]     # (ncols, 128)
+                    term = cr[:, None, :] * cc[None, :, :]          # (BS, ncols, 128)
+                    acc = term if acc is None else acc + term
+                l_ref[0, rb : rb + BS, jb + BS : rb + BS, :] = (
+                    l_ref[0, rb : rb + BS, jb + BS : rb + BS, :] - acc
+                )
     # zero the strict upper triangle
     l_ref[0] = jnp.where(rows >= cols, l_ref[0], 0.0)
 
