@@ -101,7 +101,17 @@ class BayesianOptimizer:
         n = n or self.cfg.n_initial
         self.key, k = jax.random.split(self.key)
         sob = qmc.Sobol(self.d, scramble=True, seed=int(jax.random.randint(k, (), 0, 2**31 - 1)))
-        self._evaluate(sob.random(n), group=0)
+        # the reference protocol fixes n_initial = 50 (bo_config.yaml:11),
+        # not a power of 2 — scipy's Sobol balance warning is expected and
+        # irrelevant for seeding a GP (botorch draws the same way)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message=".*balance properties of Sobol.*"
+            )
+            pts = sob.random(n)
+        self._evaluate(pts, group=0)
 
     # ------------------------------------------------------------------
     def _train_data(self, group: int):
